@@ -1,0 +1,104 @@
+"""Device-side preprocessing: id batches + HBM-resident shared tables → model inputs.
+
+This is the TPU-native replacement for the reference's host-side feed_dict assembly
+(SURVEY.md section 3.2: Python batch gen + padding feeding `sess.run`). The shared
+tables (photo-feature matrix, per-album modality tensors, GloVe matrix) are uploaded
+to HBM once; per step only a few KB of int32 ids cross the host-device boundary, and
+the full [N, A, P, F] photo-feature batch plus all text tensors materialize on device
+via fused XLA gathers — BASELINE.json north star: "fused device-side preprocessing
+stage feeding HBM-resident batches".
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from fvta_memexqa_tpu.data.pack import PackedShared
+from fvta_memexqa_tpu.data.pipeline import Batch
+
+
+@flax.struct.dataclass
+class SharedTables:
+    """HBM-resident dedup tables (device mirror of pack.py's PackedShared)."""
+
+    word_emb: jnp.ndarray           # f32 [V, D]; frozen rows handled by models/embed.py
+    photo_feats: jnp.ndarray        # f32 [num_photos+1, F]
+    album_photo_idx: jnp.ndarray    # i32 [num_albums+1, P]
+    album_photo_mask: jnp.ndarray   # bool [num_albums+1, P]
+    photo_title_words: jnp.ndarray  # i32 [num_albums+1, P, Ts]
+    photo_title_chars: jnp.ndarray  # i32 [num_albums+1, P, Ts, W]
+    photo_title_mask: jnp.ndarray   # bool [num_albums+1, P, Ts]
+    album_text_words: jnp.ndarray   # i32 [num_albums+1, 4, Tt]
+    album_text_chars: jnp.ndarray   # i32 [num_albums+1, 4, Tt, W]
+    album_text_mask: jnp.ndarray    # bool [num_albums+1, 4, Tt]
+
+    @classmethod
+    def from_packed(cls, shared: PackedShared) -> "SharedTables":
+        return cls(
+            word_emb=jnp.asarray(shared.word_emb_init),
+            photo_feats=jnp.asarray(shared.photo_feats),
+            album_photo_idx=jnp.asarray(shared.album_photo_idx),
+            album_photo_mask=jnp.asarray(shared.album_photo_mask),
+            photo_title_words=jnp.asarray(shared.photo_title_words),
+            photo_title_chars=jnp.asarray(shared.photo_title_chars),
+            photo_title_mask=jnp.asarray(shared.photo_title_mask),
+            album_text_words=jnp.asarray(shared.album_text_words),
+            album_text_chars=jnp.asarray(shared.album_text_chars),
+            album_text_mask=jnp.asarray(shared.album_text_mask),
+        )
+
+
+@flax.struct.dataclass
+class ModelInputs:
+    """Fully materialized, fixed-shape model inputs (one QA batch)."""
+
+    q_words: jnp.ndarray            # i32 [N, Jq]
+    q_chars: jnp.ndarray            # i32 [N, Jq, W]
+    q_mask: jnp.ndarray             # bool [N, Jq]
+    choice_words: jnp.ndarray       # i32 [N, 4, Ja]
+    choice_chars: jnp.ndarray       # i32 [N, 4, Ja, W]
+    choice_mask: jnp.ndarray        # bool [N, 4, Ja]
+    photo_feats: jnp.ndarray        # f32 [N, A, P, F]
+    photo_mask: jnp.ndarray         # bool [N, A, P]
+    photo_title_words: jnp.ndarray  # i32 [N, A, P, Ts]
+    photo_title_chars: jnp.ndarray  # i32 [N, A, P, Ts, W]
+    photo_title_mask: jnp.ndarray   # bool [N, A, P, Ts]
+    album_text_words: jnp.ndarray   # i32 [N, A, 4, Tt]
+    album_text_chars: jnp.ndarray   # i32 [N, A, 4, Tt, W]
+    album_text_mask: jnp.ndarray    # bool [N, A, 4, Tt]
+    album_mask: jnp.ndarray         # bool [N, A]
+    label: jnp.ndarray              # i32 [N]
+    ex_mask: jnp.ndarray            # bool [N]
+
+
+def assemble(shared: SharedTables, batch: Batch) -> ModelInputs:
+    """Pure gather; always called under jit as part of the train/eval step."""
+    a_idx = batch.album_idx                          # [N, A]
+    photo_idx = shared.album_photo_idx[a_idx]        # [N, A, P]
+    amask = batch.album_mask[..., None]              # [N, A, 1]
+    return ModelInputs(
+        q_words=batch.q_words,
+        q_chars=batch.q_chars,
+        q_mask=batch.q_mask,
+        choice_words=batch.choice_words,
+        choice_chars=batch.choice_chars,
+        choice_mask=batch.choice_mask,
+        photo_feats=shared.photo_feats[photo_idx],
+        photo_mask=shared.album_photo_mask[a_idx] & amask,
+        photo_title_words=shared.photo_title_words[a_idx],
+        photo_title_chars=shared.photo_title_chars[a_idx],
+        photo_title_mask=shared.photo_title_mask[a_idx] & amask[..., None],
+        album_text_words=shared.album_text_words[a_idx],
+        album_text_chars=shared.album_text_chars[a_idx],
+        album_text_mask=shared.album_text_mask[a_idx] & amask[..., None],
+        album_mask=batch.album_mask,
+        label=batch.label,
+        ex_mask=batch.ex_mask,
+    )
+
+
+def device_put_batch(batch: Batch) -> Batch:
+    """Host→device transfer of the (small) id batch."""
+    return jax.tree.map(jnp.asarray, batch)

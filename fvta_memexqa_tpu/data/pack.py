@@ -1,0 +1,271 @@
+"""Offline packer: raw MemexQA JSON + GloVe + photo features → fixed-shape npz shards.
+
+Rebuild of the reference's `prepro.py` stage (SURVEY.md section 3.1) with one key
+design change: instead of pickling ragged Python dicts that are re-padded per batch at
+train time (reference `utils.py get_batches`), everything is padded ONCE here to the
+static maxima in `DataConfig` and stored as dense arrays. Photo features and per-album
+text live in a single deduplicated `shared.npz` table (the reference's `shared.p`);
+per-example records carry only integer ids, so batches are tiny on the host and the
+full gather happens on device (`device_prepro.py`) — the "fused device-side
+preprocessing stage feeding HBM-resident batches" of BASELINE.json's north star.
+
+Pack layout on disk:
+    out_dir/
+      meta.json        # DataConfig (vocab sizes resolved), vocab maps, split sizes
+      shared.npz       # word_emb_init, photo_feats, per-album modality tables
+      data_train.npz   # per-question id tensors + labels
+      data_val.npz
+      data_test.npz
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from fvta_memexqa_tpu.config import DataConfig
+from fvta_memexqa_tpu.data.schema import Album, QAPair, album_where_text
+from fvta_memexqa_tpu.data.tokenize import tokenize, word_to_char_ids
+from fvta_memexqa_tpu.data.vocab import Vocab
+
+# Album-level text modalities, in table order (axis 1 of album_text_*).
+ALBUM_TEXT_FIELDS = ("album_title", "album_desc", "when", "where")
+
+
+@dataclass
+class PackedShared:
+    word_emb_init: np.ndarray       # f32 [V, D]
+    photo_feats: np.ndarray         # f32 [num_photos+1, F]; row 0 is the pad photo
+    album_photo_idx: np.ndarray     # i32 [num_albums+1, P] rows into photo_feats
+    album_photo_mask: np.ndarray    # bool [num_albums+1, P]
+    photo_title_words: np.ndarray   # i32 [num_albums+1, P, Ts]
+    photo_title_chars: np.ndarray   # i32 [num_albums+1, P, Ts, W]
+    photo_title_mask: np.ndarray    # bool [num_albums+1, P, Ts]
+    album_text_words: np.ndarray    # i32 [num_albums+1, 4, Tt]
+    album_text_chars: np.ndarray    # i32 [num_albums+1, 4, Tt, W]
+    album_text_mask: np.ndarray     # bool [num_albums+1, 4, Tt]
+
+
+@dataclass
+class PackedDataset:
+    cfg: DataConfig
+    shared: PackedShared
+    splits: dict[str, dict[str, np.ndarray]]
+    meta: dict
+
+    def num_examples(self, split: str) -> int:
+        return int(self.splits[split]["label"].shape[0])
+
+
+def _encode_text(
+    text_tokens: list[str], vocab: Vocab, max_len: int, max_word_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token list → (word ids [L], char ids [L, W], mask [L]) padded to max_len."""
+    toks = text_tokens[:max_len]
+    words = np.zeros(max_len, dtype=np.int32)
+    chars = np.zeros((max_len, max_word_len), dtype=np.int32)
+    mask = np.zeros(max_len, dtype=bool)
+    for i, t in enumerate(toks):
+        words[i] = vocab.word_id(t)
+        chars[i] = word_to_char_ids(t, vocab.char2idx, max_word_len)
+        mask[i] = True
+    return words, chars, mask
+
+
+def _album_text(album: Album, field: str) -> str:
+    if field == "album_title":
+        return album.title
+    if field == "album_desc":
+        return album.description
+    if field == "when":
+        return album.when
+    if field == "where":
+        return album_where_text(album)
+    raise ValueError(field)
+
+
+def split_qas(
+    qas: list[QAPair], test_ids: set[str], val_fraction: float, seed: int
+) -> dict[str, list[QAPair]]:
+    """test by official id file; val carved deterministically from the remainder."""
+    test = [q for q in qas if q.question_id in test_ids]
+    rest = [q for q in qas if q.question_id not in test_ids]
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(rest))
+    n_val = int(round(len(rest) * val_fraction))
+    val_idx = set(perm[:n_val].tolist())
+    val = [rest[i] for i in sorted(val_idx)]
+    train = [rest[i] for i in range(len(rest)) if i not in val_idx]
+    return {"train": train, "val": val, "test": test}
+
+
+def _train_token_stream(train_qas: list[QAPair], albums: dict[str, Album]):
+    """Tokens used to build the vocab: all train QA text + referenced album text."""
+    seen_albums: set[str] = set()
+    for qa in train_qas:
+        yield from tokenize(qa.question)
+        for c in qa.choices:
+            yield from tokenize(c)
+        for aid in qa.album_ids:
+            if aid in albums and aid not in seen_albums:
+                seen_albums.add(aid)
+                a = albums[aid]
+                for f in ALBUM_TEXT_FIELDS:
+                    yield from tokenize(_album_text(a, f))
+                for t in a.photo_titles:
+                    yield from tokenize(t)
+
+
+def pack(
+    qas: list[QAPair],
+    albums: dict[str, Album],
+    photo_feats: dict[str, np.ndarray],
+    test_ids: set[str],
+    glove: dict[str, np.ndarray] | None,
+    out_dir: str,
+    cfg: DataConfig,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> dict:
+    """Run the full pack; writes npz shards + meta.json to out_dir, returns meta."""
+    os.makedirs(out_dir, exist_ok=True)
+    splits = split_qas(qas, test_ids, val_fraction, seed)
+    vocab = Vocab.build(
+        _train_token_stream(splits["train"], albums), glove, cfg.word_emb_dim, seed=seed
+    )
+    cfg = DataConfig(
+        **{
+            **cfg.__dict__,
+            "word_vocab_size": vocab.size,
+            "char_vocab_size": vocab.char_size,
+            "num_glove_words": vocab.num_glove,
+        }
+    )
+
+    # ---- shared tables -------------------------------------------------------
+    # Keep only albums actually referenced; row 0 of every table is the pad album.
+    used_album_ids = sorted({aid for qa in qas for aid in qa.album_ids if aid in albums})
+    album_row = {aid: i + 1 for i, aid in enumerate(used_album_ids)}
+    n_alb = len(used_album_ids) + 1
+
+    used_photo_ids: list[str] = []
+    photo_row: dict[str, int] = {}
+    for aid in used_album_ids:
+        for pid in albums[aid].photo_ids[: cfg.max_photos]:
+            if pid not in photo_row and pid in photo_feats:
+                photo_row[pid] = len(used_photo_ids) + 1
+                used_photo_ids.append(pid)
+    n_ph = len(used_photo_ids) + 1
+
+    feat_dim = cfg.image_feat_dim
+    sh = PackedShared(
+        word_emb_init=vocab.emb_init,
+        photo_feats=np.zeros((n_ph, feat_dim), dtype=np.float32),
+        album_photo_idx=np.zeros((n_alb, cfg.max_photos), dtype=np.int32),
+        album_photo_mask=np.zeros((n_alb, cfg.max_photos), dtype=bool),
+        photo_title_words=np.zeros((n_alb, cfg.max_photos, cfg.max_sent_len), dtype=np.int32),
+        photo_title_chars=np.zeros(
+            (n_alb, cfg.max_photos, cfg.max_sent_len, cfg.max_word_len), dtype=np.int32
+        ),
+        photo_title_mask=np.zeros((n_alb, cfg.max_photos, cfg.max_sent_len), dtype=bool),
+        album_text_words=np.zeros((n_alb, 4, cfg.max_album_text_len), dtype=np.int32),
+        album_text_chars=np.zeros(
+            (n_alb, 4, cfg.max_album_text_len, cfg.max_word_len), dtype=np.int32
+        ),
+        album_text_mask=np.zeros((n_alb, 4, cfg.max_album_text_len), dtype=bool),
+    )
+    for pid, row in photo_row.items():
+        f = np.asarray(photo_feats[pid], dtype=np.float32).reshape(-1)
+        if f.shape[0] != feat_dim:
+            raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {feat_dim}")
+        sh.photo_feats[row] = f
+    for aid, row in album_row.items():
+        a = albums[aid]
+        for p, pid in enumerate(a.photo_ids[: cfg.max_photos]):
+            if pid in photo_row:
+                sh.album_photo_idx[row, p] = photo_row[pid]
+                sh.album_photo_mask[row, p] = True
+            w, ch, m = _encode_text(
+                tokenize(a.photo_titles[p]), vocab, cfg.max_sent_len, cfg.max_word_len
+            )
+            sh.photo_title_words[row, p] = w
+            sh.photo_title_chars[row, p] = ch
+            sh.photo_title_mask[row, p] = m
+        for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
+            w, ch, m = _encode_text(
+                tokenize(_album_text(a, fname)), vocab, cfg.max_album_text_len, cfg.max_word_len
+            )
+            sh.album_text_words[row, fi] = w
+            sh.album_text_chars[row, fi] = ch
+            sh.album_text_mask[row, fi] = m
+
+    # ---- per-split records ---------------------------------------------------
+    split_arrays: dict[str, dict[str, np.ndarray]] = {}
+    for name, split_qas_list in splits.items():
+        n = len(split_qas_list)
+        arr = {
+            "q_words": np.zeros((n, cfg.max_question_len), dtype=np.int32),
+            "q_chars": np.zeros((n, cfg.max_question_len, cfg.max_word_len), dtype=np.int32),
+            "q_mask": np.zeros((n, cfg.max_question_len), dtype=bool),
+            "choice_words": np.zeros((n, 4, cfg.max_answer_len), dtype=np.int32),
+            "choice_chars": np.zeros((n, 4, cfg.max_answer_len, cfg.max_word_len), dtype=np.int32),
+            "choice_mask": np.zeros((n, 4, cfg.max_answer_len), dtype=bool),
+            "album_idx": np.zeros((n, cfg.max_albums), dtype=np.int32),
+            "album_mask": np.zeros((n, cfg.max_albums), dtype=bool),
+            "label": np.zeros(n, dtype=np.int32),
+            "qid": np.asarray([q.question_id for q in split_qas_list], dtype="U64"),
+        }
+        for i, qa in enumerate(split_qas_list):
+            w, ch, m = _encode_text(
+                tokenize(qa.question), vocab, cfg.max_question_len, cfg.max_word_len
+            )
+            arr["q_words"][i], arr["q_chars"][i], arr["q_mask"][i] = w, ch, m
+            for c_i, choice in enumerate(qa.choices):
+                w, ch, m = _encode_text(
+                    tokenize(choice), vocab, cfg.max_answer_len, cfg.max_word_len
+                )
+                arr["choice_words"][i, c_i] = w
+                arr["choice_chars"][i, c_i] = ch
+                arr["choice_mask"][i, c_i] = m
+            for a_i, aid in enumerate(qa.album_ids[: cfg.max_albums]):
+                if aid in album_row:
+                    arr["album_idx"][i, a_i] = album_row[aid]
+                    arr["album_mask"][i, a_i] = True
+            arr["label"][i] = qa.label
+        split_arrays[name] = arr
+
+    # ---- write ---------------------------------------------------------------
+    np.savez_compressed(os.path.join(out_dir, "shared.npz"), **sh.__dict__)
+    for name, arr in split_arrays.items():
+        np.savez_compressed(os.path.join(out_dir, f"data_{name}.npz"), **arr)
+    meta = {
+        "data_config": cfg.__dict__,
+        "modalities": list(ALBUM_TEXT_FIELDS),
+        "word2idx": vocab.word2idx,
+        "char2idx": vocab.char2idx,
+        "num_albums": n_alb - 1,
+        "num_photos": n_ph - 1,
+        "split_sizes": {k: len(v) for k, v in splits.items()},
+        "id_layout": "0=PAD 1=UNK [2,2+G)=glove-frozen [2+G,V)=trainable",
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_pack(out_dir: str) -> PackedDataset:
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = DataConfig(**meta["data_config"])
+    with np.load(os.path.join(out_dir, "shared.npz")) as z:
+        shared = PackedShared(**{k: z[k] for k in z.files})
+    splits = {}
+    for name in ("train", "val", "test"):
+        path = os.path.join(out_dir, f"data_{name}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                splits[name] = {k: z[k] for k in z.files}
+    return PackedDataset(cfg=cfg, shared=shared, splits=splits, meta=meta)

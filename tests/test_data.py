@@ -1,0 +1,186 @@
+"""Data layer: tokenizer spec, schema parsing, pack/load round-trip, batching,
+device-side assembly."""
+
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import NUM_MODALITIES
+from fvta_memexqa_tpu.data import (
+    Dataset,
+    SharedTables,
+    assemble,
+    make_synthetic,
+    parse_album_info,
+    parse_qas,
+    tokenize,
+)
+from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+from fvta_memexqa_tpu.data.tokenize import PAD_ID, UNK_ID, word_to_char_ids
+from fvta_memexqa_tpu.data.vocab import Vocab
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+    def test_apostrophe_kept(self):
+        assert tokenize("Don't stop") == ["don't", "stop"]
+
+    def test_numbers_and_punct(self):
+        assert tokenize("July 4, 2007 (10:30)") == [
+            "july", "4", ",", "2007", "(", "10", ":", "30", ")",
+        ]
+
+    def test_empty(self):
+        assert tokenize("") == []
+        assert tokenize("   \n\t ") == []
+
+    def test_char_ids_pad_truncate(self):
+        c2i = {"a": 2, "b": 3}
+        assert word_to_char_ids("ab", c2i, 4) == [2, 3, PAD_ID, PAD_ID]
+        assert word_to_char_ids("abab", c2i, 2) == [2, 3]
+        assert word_to_char_ids("ax", c2i, 3) == [2, UNK_ID, PAD_ID]
+
+
+class TestSchema:
+    def test_parse_qas_valid(self):
+        qas, errs = parse_qas(
+            [
+                {
+                    "question_id": "q1",
+                    "question": "where?",
+                    "answer": "paris",
+                    "multiple_choices_4": ["paris", "oslo", "cairo", "lima"],
+                    "album_ids": ["a1"],
+                }
+            ]
+        )
+        assert not errs and len(qas) == 1
+        assert qas[0].label == 0
+
+    def test_parse_qas_bad_rows_reported(self):
+        qas, errs = parse_qas(
+            [
+                {"question_id": "q1", "answer": "x", "multiple_choices_4": ["a", "b"]},
+                {"question_id": "q2", "answer": "z", "multiple_choices_4": ["a", "b", "c", "d"]},
+            ]
+        )
+        assert len(qas) == 0 and len(errs) == 2
+
+    def test_parse_albums_aligns_photo_lists(self):
+        albums, errs = parse_album_info(
+            [
+                {
+                    "album_id": "a1",
+                    "album_title": "t",
+                    "photo_ids": ["p1", "p2", "p3"],
+                    "photo_titles": ["only one"],
+                    "photo_gps": [[1.0, 2.0]],
+                }
+            ]
+        )
+        assert not errs
+        a = albums["a1"]
+        assert len(a.photo_titles) == 3 and a.photo_titles[1] == ""
+        assert a.photo_gps == ((1.0, 2.0), None, None)
+
+
+class TestVocab:
+    def test_glove_frozen_layout(self):
+        glove = {"cat": np.ones(4, np.float32), "dog": 2 * np.ones(4, np.float32)}
+        v = Vocab.build(["cat", "dog", "newt", "cat"], glove, dim=4, seed=0)
+        assert v.num_glove == 2
+        # ids [2, 2+G) are glove rows, then OOV
+        assert v.word_id("cat") in (2, 3) and v.word_id("newt") == 4
+        np.testing.assert_array_equal(v.emb_init[v.word_id("cat")], glove["cat"])
+        assert v.emb_init[PAD_ID].sum() == 0.0
+
+
+class TestPack:
+    def test_round_trip_shapes(self, packed_synth):
+        cfg = packed_synth.cfg
+        assert cfg.word_vocab_size > 0 and cfg.num_glove_words > 0
+        tr = packed_synth.splits["train"]
+        n = tr["label"].shape[0]
+        assert tr["q_words"].shape == (n, cfg.max_question_len)
+        assert tr["choice_words"].shape == (n, 4, cfg.max_answer_len)
+        assert packed_synth.shared.photo_feats.shape[1] == cfg.image_feat_dim
+        # pad rows are all-zero / unmasked
+        assert not packed_synth.shared.album_photo_mask[0].any()
+        assert packed_synth.num_examples("test") > 0
+
+    def test_split_disjoint_and_complete(self, packed_synth):
+        qids = [set(packed_synth.splits[s]["qid"].tolist()) for s in ("train", "val", "test")]
+        assert not (qids[0] & qids[1]) and not (qids[0] & qids[2]) and not (qids[1] & qids[2])
+        assert sum(len(q) for q in qids) == 24
+
+    def test_deterministic(self, tmp_path):
+        from fvta_memexqa_tpu.data import load_pack, pack
+        from tests.conftest import small_data_config
+
+        args = make_synthetic(seed=0)
+        d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+        pack(*args, d1, small_data_config(), seed=0)
+        pack(*args, d2, small_data_config(), seed=0)
+        p1, p2 = load_pack(d1), load_pack(d2)
+        np.testing.assert_array_equal(
+            p1.splits["train"]["q_words"], p2.splits["train"]["q_words"]
+        )
+        np.testing.assert_array_equal(p1.shared.word_emb_init, p2.shared.word_emb_init)
+
+
+class TestPipeline:
+    def test_batches_cover_all_examples_once(self, packed_synth):
+        ds = Dataset(packed_synth, "train")
+        seen = 0
+        for b in ds.get_batches(batch_size=5, shuffle=True, seed=1):
+            assert b.label.shape == (5,)
+            seen += int(b.ex_mask.sum())
+        assert seen == ds.n
+
+    def test_shuffle_deterministic(self, packed_synth):
+        ds = Dataset(packed_synth, "train")
+        b1 = next(iter(ds.get_batches(4, shuffle=True, seed=3, epoch=2)))
+        b2 = next(iter(ds.get_batches(4, shuffle=True, seed=3, epoch=2)))
+        b3 = next(iter(ds.get_batches(4, shuffle=True, seed=3, epoch=3)))
+        np.testing.assert_array_equal(b1.q_words, b2.q_words)
+        assert not np.array_equal(b1.label, b3.label) or not np.array_equal(
+            b1.q_words, b3.q_words
+        )
+
+
+class TestDevicePrepro:
+    def test_assemble_shapes_and_masks(self, packed_synth):
+        cfg = packed_synth.cfg
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(4))))
+        mi = assemble(shared, batch)
+        A, P, F = cfg.max_albums, cfg.max_photos, cfg.image_feat_dim
+        assert mi.photo_feats.shape == (4, A, P, F)
+        assert mi.album_text_words.shape == (4, A, 4, cfg.max_album_text_len)
+        # padded albums contribute zero features and all-False masks
+        pad_albums = ~np.asarray(mi.album_mask)
+        feats = np.asarray(mi.photo_feats)
+        masks = np.asarray(mi.photo_mask)
+        for n in range(4):
+            for a in range(A):
+                if pad_albums[n, a]:
+                    assert not masks[n, a].any()
+                    assert np.abs(feats[n, a]).sum() == 0.0
+
+    def test_real_photo_feats_roundtrip(self, packed_synth):
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(2))))
+        mi = assemble(shared, batch)
+        # first real photo of first real album must match the shared table row
+        aidx = int(batch.album_idx[0, 0])
+        pidx = int(packed_synth.shared.album_photo_idx[aidx, 0])
+        np.testing.assert_allclose(
+            np.asarray(mi.photo_feats)[0, 0, 0], packed_synth.shared.photo_feats[pidx]
+        )
+
+
+def test_modalities_constant():
+    assert NUM_MODALITIES == 6
