@@ -1,0 +1,73 @@
+"""Word + char embedding: frozen-GloVe/trainable-OOV word table, char-CNN, highway.
+
+Rebuild of the reference's embedding section (SURVEY.md section 2 "Word+char
+embedding"): fixed GloVe vectors + trainable OOV/UNK rows, concatenated with a
+trainable char-CNN (char embeddings → 1-D conv → ReLU → max-pool over word length),
+then a highway network (BiDAF lineage; flag-gated).
+
+Frozen/trainable split: the full GloVe-initialized table lives in the HBM-resident
+SharedTables (uploaded once, never in the optimizer state); only the small
+[1 + num_OOV, D] table is a parameter. Id layout is defined in data/vocab.py.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fvta_memexqa_tpu.data.tokenize import NUM_SPECIAL, UNK_ID
+
+
+class WordEmbed(nn.Module):
+    num_glove: int       # frozen rows occupy ids [NUM_SPECIAL, NUM_SPECIAL + num_glove)
+    vocab_size: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, frozen_table: jnp.ndarray) -> jnp.ndarray:
+        """ids [...], frozen_table f32 [V, D] (from SharedTables) → [..., D]."""
+        boundary = NUM_SPECIAL + self.num_glove
+        num_trainable = max(self.vocab_size - boundary + 1, 1)  # UNK + OOV rows
+        trainable = self.param(
+            "oov_emb", nn.initializers.normal(0.1), (num_trainable, self.dim)
+        )
+        is_trainable = (ids == UNK_ID) | (ids >= boundary)
+        t_id = jnp.clip(jnp.where(ids == UNK_ID, 0, ids - boundary + 1), 0, num_trainable - 1)
+        f_id = jnp.clip(ids, 0, boundary - 1)
+        return jnp.where(is_trainable[..., None], trainable[t_id], frozen_table[f_id])
+
+
+class CharCNN(nn.Module):
+    """Char embeddings → width-K 1-D conv (VALID) → ReLU → max-pool over word length."""
+
+    char_vocab_size: int
+    emb_dim: int
+    num_filters: int
+    width: int
+
+    @nn.compact
+    def __call__(self, char_ids: jnp.ndarray) -> jnp.ndarray:
+        """char_ids i32 [..., W] → [..., num_filters]."""
+        emb = nn.Embed(self.char_vocab_size, self.emb_dim, name="char_emb")(char_ids)
+        lead = emb.shape[:-2]
+        flat = emb.reshape((-1,) + emb.shape[-2:])  # [B, W, E]
+        conv = nn.Conv(
+            self.num_filters, kernel_size=(self.width,), padding="VALID", name="conv"
+        )(flat)
+        pooled = jnp.max(nn.relu(conv), axis=1)
+        return pooled.reshape(lead + (self.num_filters,))
+
+
+class Highway(nn.Module):
+    """num_layers of y = g * relu(W_h x) + (1 - g) * x, g = sigmoid(W_t x)."""
+
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        for i in range(self.num_layers):
+            h = nn.relu(nn.Dense(d, name=f"h{i}")(x))
+            g = nn.sigmoid(nn.Dense(d, name=f"g{i}")(x))
+            x = g * h + (1.0 - g) * x
+        return x

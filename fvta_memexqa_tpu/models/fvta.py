@@ -1,0 +1,199 @@
+"""The FVTA MemexQA model: embed → per-modality encoders → focal attention → scorer.
+
+Rebuild of the reference's `model.py` graph (SURVEY.md sections 2 and 3.4) as a Flax
+module over fixed-shape ModelInputs. Wiring (canonical for this rebuild; mount empty):
+
+- word-level: GloVe+charCNN(+highway) embeddings; ONE shared word bi-LSTM encodes the
+  question (per-word states), each answer candidate (summary state), and each photo
+  title (summary state). Sharing the word encoder across question/answer/title text is
+  the BiDAF-lineage choice; per-modality *time* encoders below are separate, matching
+  the reference's "one bi-LSTM per context modality".
+- time-level, per album: 6 modality sequences (config.MODALITIES order) —
+    photo        : projected photo features over photos      [A, P,  2H]
+    photo_title  : per-photo title summaries over photos     [A, P,  2H]
+    album_title / album_desc / when / where
+                 : word embeddings over words                [A, Tt, 2H]
+  each encoded by its own bi-LSTM, padded to common T and stacked into the context
+  tensor H [N, S=A*6, T, 2H] with mask [N, S, T].
+- FVTA core: correlation tensor + hierarchical focal softmax (ops/fvta_ref.py, or the
+  fused Pallas kernel when cfg.model.use_pallas).
+- scorer: logits_i = Dense([ctx; q~; a_i; ctx*a_i; q~*a_i]) for the 4 candidates,
+  evaluated as one batched matmul (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fvta_memexqa_tpu.config import Config, MODALITIES
+from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables
+from fvta_memexqa_tpu.models.embed import CharCNN, Highway, WordEmbed
+from fvta_memexqa_tpu.ops.fvta_ref import ATTENTION_VARIANTS, AttentionOutput, similarity_tensor
+from fvta_memexqa_tpu.ops.lstm_ref import bilstm_ref, init_lstm_params
+
+
+class ModelOutput(NamedTuple):
+    logits: jnp.ndarray        # [N, 4]
+    attention: AttentionOutput
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM with TF1 numerics; Pallas fused scan behind a flag."""
+
+    hidden_dim: int
+    forget_bias: float = 1.0
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        d = x.shape[-1]
+        p_fw = self.param("fw", lambda k: init_lstm_params(k, d, self.hidden_dim))
+        p_bw = self.param("bw", lambda k: init_lstm_params(k, d, self.hidden_dim))
+        if self.use_pallas:
+            from fvta_memexqa_tpu.ops.lstm_pallas import bilstm_pallas
+
+            return bilstm_pallas(p_fw, p_bw, x, mask, self.forget_bias)
+        return bilstm_ref(p_fw, p_bw, x, mask, self.forget_bias)
+
+
+class FVTAModel(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        d = self.cfg.data
+        m = self.cfg.model
+        self.word_embed = WordEmbed(
+            num_glove=d.num_glove_words, vocab_size=d.word_vocab_size, dim=d.word_emb_dim
+        )
+        self.char_cnn = CharCNN(
+            char_vocab_size=max(d.char_vocab_size, 4),
+            emb_dim=m.char_emb_dim,
+            num_filters=m.char_cnn_filters,
+            width=m.char_cnn_width,
+        )
+        self.highway = Highway(num_layers=2)
+        self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
+        self.photo_proj = nn.Dense(d.word_emb_dim + m.char_cnn_filters, name="photo_proj")
+        kw = dict(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias, use_pallas=m.use_pallas)
+        self.enc_word = BiLSTM(name="enc_word", **kw)
+        self.enc_time = [BiLSTM(name=f"enc_{mod}", **kw) for mod in MODALITIES]
+        if m.similarity == "trilinear":
+            h2 = 2 * m.hidden_dim
+            self.w_x = self.param("sim_w_x", nn.initializers.normal(0.1), (h2,))
+            self.w_y = self.param("sim_w_y", nn.initializers.normal(0.1), (h2,))
+            self.w_xy = self.param("sim_w_xy", nn.initializers.normal(0.1), (h2,))
+        elif m.similarity == "bilinear":
+            h2 = 2 * m.hidden_dim
+            self.w_bilinear = self.param(
+                "sim_w_bilinear", nn.initializers.lecun_normal(), (h2, h2)
+            )
+        self.scorer = nn.Dense(1, name="scorer")
+
+    # ---- building blocks -----------------------------------------------------
+
+    def _embed_text(self, words, chars, frozen_table, train: bool):
+        """word ids [..., L] + char ids [..., L, W] → [..., L, d_in]."""
+        w = self.word_embed(words, frozen_table)
+        c = self.char_cnn(chars)
+        x = self.highway(jnp.concatenate([w, c], axis=-1))
+        return self.dropout(x, deterministic=not train)
+
+    def _encode_words(self, enc, x, mask):
+        """Flatten leading dims, run a word-level bi-LSTM, restore leading dims."""
+        lead = x.shape[:-2]
+        out, fin = enc(x.reshape((-1,) + x.shape[-2:]), mask.reshape((-1, mask.shape[-1])))
+        return out.reshape(lead + out.shape[1:]), fin.reshape(lead + fin.shape[1:])
+
+    # ---- forward -------------------------------------------------------------
+
+    def __call__(self, shared: SharedTables, mi: ModelInputs, train: bool = False) -> ModelOutput:
+        d, m = self.cfg.data, self.cfg.model
+        ft = shared.word_emb
+        n = mi.q_words.shape[0]
+        h2 = 2 * m.hidden_dim
+
+        # Question: per-word hidden states [N, J, 2H]
+        q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train)
+        h_q, _ = self.enc_word(q_emb, mi.q_mask)
+
+        # Choices: summary states [N, 4, 2H]
+        a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train)
+        _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask)
+
+        # Photo titles: per-photo summary [N, A, P, 2H]
+        pt_emb = self._embed_text(mi.photo_title_words, mi.photo_title_chars, ft, train)
+        _, pt_sum = self._encode_words(self.enc_word, pt_emb, mi.photo_title_mask)
+
+        # ---- per-modality time encoders (context tensor assembly) ----
+        A, P = d.max_albums, d.max_photos
+        t_ctx = d.max_context_time
+
+        def pad_t(x, mask):
+            """Pad the time axis of [N*A, t, 2H] / [N*A, t] out to t_ctx."""
+            pad = t_ctx - x.shape[1]
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+            return x, mask
+
+        seqs, masks = [], []
+
+        photo_in = self.dropout(self.photo_proj(mi.photo_feats), deterministic=not train)
+        photo_mask = mi.photo_mask.reshape(n * A, P)
+        out, _ = self.enc_time[0](photo_in.reshape(n * A, P, -1), photo_mask)
+        seqs.append(pad_t(out, photo_mask)[0])
+        masks.append(pad_t(out, photo_mask)[1])
+
+        pt_time_mask = mi.photo_title_mask.any(axis=-1).reshape(n * A, P)
+        out, _ = self.enc_time[1](pt_sum.reshape(n * A, P, h2), pt_time_mask)
+        x_p, m_p = pad_t(out, pt_time_mask)
+        seqs.append(x_p)
+        masks.append(m_p)
+
+        at_emb = self._embed_text(mi.album_text_words, mi.album_text_chars, ft, train)
+        for fi in range(4):  # album_title, album_desc, when, where
+            x_f = at_emb[:, :, fi].reshape(n * A, d.max_album_text_len, -1)
+            m_f = mi.album_text_mask[:, :, fi].reshape(n * A, d.max_album_text_len)
+            out, _ = self.enc_time[2 + fi](x_f, m_f)
+            x_p, m_p = pad_t(out, m_f)
+            seqs.append(x_p)
+            masks.append(m_p)
+
+        # [N*A, 6, T, 2H] → [N, A*6, T, 2H] (sequence axis S groups album-major)
+        h_ctx = jnp.stack(seqs, axis=1).reshape(n, A * len(MODALITIES), t_ctx, h2)
+        ctx_mask = jnp.stack(masks, axis=1).reshape(n, A * len(MODALITIES), t_ctx)
+
+        # ---- FVTA core ----
+        sim_params = {}
+        if m.similarity == "trilinear":
+            sim_params = {"w_x": self.w_x, "w_y": self.w_y, "w_xy": self.w_xy}
+        elif m.similarity == "bilinear":
+            sim_params = {"w_bilinear": self.w_bilinear}
+
+        if m.use_pallas and m.attention == "fvta":
+            from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
+
+            attn = fvta_attention_pallas(
+                h_ctx, ctx_mask, h_q, mi.q_mask, m.similarity, sim_params
+            )
+        else:
+            corr = similarity_tensor(h_ctx, h_q, m.similarity, sim_params)
+            attn = ATTENTION_VARIANTS[m.attention](h_ctx, ctx_mask, h_q, mi.q_mask, corr)
+
+        # ---- 4-way scorer: one batched matmul over all candidates ----
+        ctx = attn.context[:, None, :]      # [N, 1, 2H]
+        qv = attn.question[:, None, :]      # [N, 1, 2H]
+        feats = jnp.concatenate(
+            [
+                jnp.broadcast_to(ctx, a_sum.shape),
+                jnp.broadcast_to(qv, a_sum.shape),
+                a_sum,
+                ctx * a_sum,
+                qv * a_sum,
+            ],
+            axis=-1,
+        )                                    # [N, 4, 5*2H]
+        logits = self.scorer(feats)[..., 0]  # [N, 4]
+        return ModelOutput(logits=logits, attention=attn)

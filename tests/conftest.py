@@ -8,10 +8,15 @@ Must run before jax initializes its backends, hence module-level in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: on this box the axon TPU plugin ignores the JAX_PLATFORMS env var; only the
+# jax.config knob reliably forces CPU (see .claude/skills/verify/SKILL.md).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,102 @@
+"""Full model forward: shapes, determinism, variants, gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble
+from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+from fvta_memexqa_tpu.models import FVTAModel
+
+
+@pytest.fixture(scope="module")
+def setup(packed_synth, small_config):
+    shared = SharedTables.from_packed(packed_synth.shared)
+    ds = Dataset(packed_synth, "train")
+    batch = device_put_batch(next(iter(ds.get_batches(4))))
+    mi = assemble(shared, batch)
+    model = FVTAModel(cfg=small_config)
+    params = model.init(jax.random.key(0), shared, mi, train=False)
+    return model, params, shared, mi
+
+
+class TestModelForward:
+    def test_logit_shapes(self, setup):
+        model, params, shared, mi = setup
+        out = model.apply(params, shared, mi, train=False)
+        assert out.logits.shape == (4, 4)
+        assert np.isfinite(np.asarray(out.logits)).all()
+
+    def test_eval_deterministic(self, setup):
+        model, params, shared, mi = setup
+        o1 = model.apply(params, shared, mi, train=False)
+        o2 = model.apply(params, shared, mi, train=False)
+        np.testing.assert_array_equal(np.asarray(o1.logits), np.asarray(o2.logits))
+
+    def test_dropout_active_in_train(self, setup):
+        model, params, shared, mi = setup
+        o1 = model.apply(params, shared, mi, train=True, rngs={"dropout": jax.random.key(1)})
+        o2 = model.apply(params, shared, mi, train=True, rngs={"dropout": jax.random.key(2)})
+        assert not np.allclose(np.asarray(o1.logits), np.asarray(o2.logits))
+
+    def test_attention_weights_shapes(self, setup, small_config):
+        model, params, shared, mi = setup
+        out = model.apply(params, shared, mi, train=False)
+        d = small_config.data
+        s = d.max_albums * 6
+        assert out.attention.time_attn.shape == (4, s, d.max_context_time)
+        assert out.attention.seq_attn.shape == (4, s)
+
+    @pytest.mark.parametrize("attention", ["flat", "none"])
+    def test_variants_run(self, setup, small_config, attention):
+        _, params, shared, mi = setup
+        cfg = small_config.replace(model=small_config.model.__class__(
+            **{**small_config.model.__dict__, "attention": attention}
+        ))
+        model = FVTAModel(cfg=cfg)
+        out = model.apply(params, shared, mi, train=False)
+        assert np.isfinite(np.asarray(out.logits)).all()
+
+    @pytest.mark.parametrize("similarity", ["dot", "bilinear"])
+    def test_similarity_kinds_run(self, setup, small_config, similarity):
+        _, _, shared, mi = setup
+        cfg = small_config.replace(model=small_config.model.__class__(
+            **{**small_config.model.__dict__, "similarity": similarity}
+        ))
+        model = FVTAModel(cfg=cfg)
+        params = model.init(jax.random.key(0), shared, mi, train=False)
+        out = model.apply(params, shared, mi, train=False)
+        assert np.isfinite(np.asarray(out.logits)).all()
+
+    def test_grads_nonzero_for_all_encoders(self, setup):
+        model, params, shared, mi = setup
+
+        def loss(p):
+            out = model.apply(p, shared, mi, train=False)
+            lab = jax.nn.one_hot(mi.label, 4)
+            return -jnp.mean(jnp.sum(lab * jax.nn.log_softmax(out.logits), -1))
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        dead = [
+            jax.tree_util.keystr(k)
+            for k, v in flat
+            if not np.abs(np.asarray(v)).max() > 0
+        ]
+        # Recurrent kernels (.wh) of time encoders are structurally gradient-free when
+        # every sequence of that modality has length<=1 (h stays at its zero init) —
+        # true for the synthetic "where" (single city word). Everything else must flow.
+        dead = [k for k in dead if not k.endswith(".wh")]
+        assert dead == [], f"dead params: {dead}"
+
+    def test_frozen_glove_not_in_params(self, setup, small_config):
+        _, params, _, _ = setup
+        names = [jax.tree_util.keystr(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]]
+        oov = [n for n in names if "oov_emb" in n]
+        assert len(oov) == 1
+        # the trainable table is far smaller than the full vocab
+        leaf = [v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+                if "oov_emb" in jax.tree_util.keystr(k)][0]
+        assert leaf.shape[0] < small_config.data.word_vocab_size
