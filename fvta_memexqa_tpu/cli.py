@@ -1,0 +1,190 @@
+"""CLI: the reference's 3-stage `prepro → train → test` surface, plus serve/synth.
+
+Reference surface being mirrored (SURVEY.md section 1, L1/L4):
+    python prepro.py qas.json album_info.json testids glove photos.npz outdir
+    python main.py prepro/ modelname --is_train
+    python main.py prepro/ modelname --is_test --load_best
+here:
+    python -m fvta_memexqa_tpu.cli prepro <qas> <album_info> <testids> <glove> <npz> <outdir>
+    python -m fvta_memexqa_tpu.cli train  <packdir> <rundir> [flags]
+    python -m fvta_memexqa_tpu.cli test   <packdir> <rundir> [--load-best/--load-latest]
+    python -m fvta_memexqa_tpu.cli serve  <packdir> <rundir> [--port]
+    python -m fvta_memexqa_tpu.cli synth  <outdir>   (write synthetic raw files)
+
+All flags round-trip through the frozen Config and are saved to <rundir>/config.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+from fvta_memexqa_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+
+
+def _add_dataclass_flags(p: argparse.ArgumentParser, dc_type, prefix: str = ""):
+    for f in dataclasses.fields(dc_type):
+        name = f"--{prefix}{f.name.replace('_', '-')}"
+        if f.type in ("int", int):
+            p.add_argument(name, type=int, default=None)
+        elif f.type in ("float", float):
+            p.add_argument(name, type=float, default=None)
+        elif f.type in ("bool", bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        else:
+            p.add_argument(name, type=str, default=None)
+
+
+def _dc_from_args(args, dc_type, base=None, prefix: str = ""):
+    base = base if base is not None else dc_type()
+    updates = {}
+    for f in dataclasses.fields(dc_type):
+        v = getattr(args, f"{prefix}{f.name}", None)
+        if v is not None:
+            updates[f.name] = v
+    return dataclasses.replace(base, **updates)
+
+
+def _config_from_args(args, base: Config | None = None) -> Config:
+    base = base or Config()
+    return Config(
+        data=_dc_from_args(args, DataConfig, base.data),
+        model=_dc_from_args(args, ModelConfig, base.model),
+        train=_dc_from_args(args, TrainConfig, base.train),
+        mesh=_dc_from_args(args, MeshConfig, base.mesh),
+    )
+
+
+def cmd_prepro(argv):
+    p = argparse.ArgumentParser(prog="fvta prepro")
+    p.add_argument("qas")
+    p.add_argument("album_info")
+    p.add_argument("test_ids")
+    p.add_argument("glove", help="GloVe txt path, or 'none' to train all embeddings")
+    p.add_argument("photo_npz")
+    p.add_argument("outdir")
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    _add_dataclass_flags(p, DataConfig)
+    args = p.parse_args(argv)
+
+    from fvta_memexqa_tpu.data import load_glove, pack, parse_album_info, parse_qas
+
+    cfg = _dc_from_args(args, DataConfig)
+    qas, qerr = parse_qas(args.qas)
+    albums, aerr = parse_album_info(args.album_info)
+    for e in (qerr + aerr)[:20]:
+        print(f"prepro warning: {e}", file=sys.stderr)
+    with open(args.test_ids) as f:
+        test_ids = {line.strip() for line in f if line.strip()}
+    glove = None if args.glove == "none" else load_glove(args.glove, cfg.word_emb_dim)
+    feats = dict(np.load(args.photo_npz))
+    meta = pack(qas, albums, feats, test_ids, glove, args.outdir, cfg,
+                val_fraction=args.val_fraction, seed=args.seed)
+    print(json.dumps({"splits": meta["split_sizes"], "num_albums": meta["num_albums"],
+                      "num_photos": meta["num_photos"],
+                      "vocab": meta["data_config"]["word_vocab_size"]}))
+
+
+def _train_test_parser(prog):
+    p = argparse.ArgumentParser(prog=prog)
+    p.add_argument("packdir")
+    p.add_argument("rundir")
+    for dc in (ModelConfig, TrainConfig, MeshConfig):
+        _add_dataclass_flags(p, dc)
+    return p
+
+
+def cmd_train(argv):
+    p = _train_test_parser("fvta train")
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="stop after N optimizer steps (overrides epochs)")
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.data import load_pack
+    from fvta_memexqa_tpu.train import train
+
+    packed = load_pack(args.packdir)
+    cfg = _config_from_args(args).replace(data=packed.cfg)
+    os.makedirs(args.rundir, exist_ok=True)
+    res = train(cfg, packed, args.rundir, num_steps=args.num_steps,
+                metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
+    print(json.dumps({"best_val_acc": res["best_val_acc"], "steps": res["steps"]}))
+
+
+def cmd_test(argv):
+    p = _train_test_parser("fvta test")
+    p.add_argument("--load-latest", action="store_true",
+                   help="use latest instead of best-on-val checkpoint")
+    p.add_argument("--split", default="test")
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.config import load_config
+    from fvta_memexqa_tpu.data import load_pack
+    from fvta_memexqa_tpu.train import test
+
+    packed = load_pack(args.packdir)
+    saved = load_config(os.path.join(args.rundir, "config.json"))
+    cfg = _config_from_args(args, base=saved).replace(data=packed.cfg)
+    m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
+             metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
+    print(json.dumps({"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
+                      "count": m["count"]}))
+
+
+def cmd_serve(argv):
+    from fvta_memexqa_tpu.serve import main as serve_main
+
+    serve_main(argv)
+
+
+def cmd_synth(argv):
+    p = argparse.ArgumentParser(prog="fvta synth")
+    p.add_argument("outdir")
+    p.add_argument("--num-albums", type=int, default=6)
+    p.add_argument("--photos-per-album", type=int, default=4)
+    p.add_argument("--num-questions", type=int, default=24)
+    p.add_argument("--feat-dim", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.data.synthetic import make_synthetic, write_raw_files
+
+    out = make_synthetic(num_albums=args.num_albums,
+                         photos_per_album=args.photos_per_album,
+                         num_questions=args.num_questions,
+                         feat_dim=args.feat_dim, seed=args.seed)
+    write_raw_files(args.outdir, *out)
+    print(json.dumps({"outdir": args.outdir, "questions": args.num_questions,
+                      "albums": args.num_albums}))
+
+
+COMMANDS = {
+    "prepro": cmd_prepro,
+    "train": cmd_train,
+    "test": cmd_test,
+    "serve": cmd_serve,
+    "synth": cmd_synth,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    # Reliable platform pinning: some TPU plugins (axon) ignore JAX_PLATFORMS, but the
+    # jax.config knob is always honored. FVTA_PLATFORM=cpu forces CPU (tests, CI).
+    if os.environ.get("FVTA_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print(f"usage: python -m fvta_memexqa_tpu.cli {{{'|'.join(COMMANDS)}}} ...",
+              file=sys.stderr)
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return COMMANDS[argv[0]](argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

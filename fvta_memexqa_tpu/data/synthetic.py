@@ -10,6 +10,9 @@ split to 100% — the cheap end-to-end wiring check of SURVEY.md section 4 item 
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 from fvta_memexqa_tpu.data.schema import Album, QAPair
@@ -81,7 +84,8 @@ def make_synthetic(
         else:
             obj = objs[qi % len(objs)]
             question = f"what did we photograph on the {name} trip ?"
-            answer, pool = obj, _OBJECTS
+            # distractors must NOT also be in the album, or the question is ambiguous
+            answer, pool = obj, [o for o in _OBJECTS if o not in objs or o == obj]
         choices = [answer] + distract(pool, answer, 3, r)
         order = r.permutation(4)
         choices = [choices[int(j)] for j in order]
@@ -112,3 +116,47 @@ def make_synthetic(
         if i % 10 < 7
     }
     return qas, albums, photo_feats, test_ids, glove
+
+
+def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove):
+    """Serialize to the raw on-disk format of the dataset release, so the synthetic
+    data can drive the real CLI path (prepro reads these exact files)."""
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "qas.json"), "w") as f:
+        json.dump(
+            [
+                {
+                    "question_id": q.question_id,
+                    "question": q.question,
+                    "answer": q.answer,
+                    "multiple_choices_4": list(q.choices),
+                    "album_ids": list(q.album_ids),
+                    "flickr_user_id": q.flickr_user_id,
+                }
+                for q in qas
+            ],
+            f,
+        )
+    with open(os.path.join(outdir, "album_info.json"), "w") as f:
+        json.dump(
+            [
+                {
+                    "album_id": a.album_id,
+                    "album_title": a.title,
+                    "album_description": a.description,
+                    "album_where": a.where,
+                    "album_when": a.when,
+                    "photo_ids": list(a.photo_ids),
+                    "photo_titles": list(a.photo_titles),
+                    "photo_gps": [list(g) if g else None for g in a.photo_gps],
+                }
+                for a in albums.values()
+            ],
+            f,
+        )
+    with open(os.path.join(outdir, "test_question.ids"), "w") as f:
+        f.write("\n".join(sorted(test_ids)))
+    np.savez(os.path.join(outdir, "photo_feats.npz"), **photo_feats)
+    with open(os.path.join(outdir, "glove.txt"), "w") as f:
+        for w, v in glove.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")

@@ -1,0 +1,234 @@
+"""Jitted train/eval steps + the training loop.
+
+Rebuild of the reference's main.py/trainer.py/tester.py driver layer (SURVEY.md
+sections 2-3): the epoch/batch loop, periodic validation, keep-best checkpointing —
+but TPU-native: one jitted, donated train step over a ("data","ctx") mesh; the
+device-side prepro gather (data/device_prepro.py) runs INSIDE the step so only id
+tensors cross the host boundary; optax adam/adadelta with global-norm clipping;
+metrics as JSONL.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from fvta_memexqa_tpu.config import Config
+from fvta_memexqa_tpu.checkpoint import CheckpointManager
+from fvta_memexqa_tpu.data.device_prepro import SharedTables, assemble, device_put_batch
+from fvta_memexqa_tpu.data.pipeline import Batch, Dataset
+from fvta_memexqa_tpu.models.fvta import FVTAModel
+from fvta_memexqa_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from fvta_memexqa_tpu.utils.metrics import MetricsLogger, Timer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray      # i32 scalar
+    rng_key: jnp.ndarray   # raw key data (uint32), restorable by orbax
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.optimizer == "adam":
+        opt = optax.adam(t.learning_rate)
+    elif t.optimizer == "adadelta":
+        opt = optax.adadelta(t.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer}")
+    if t.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
+    return opt
+
+
+def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batch,
+                     dropout_rng, train: bool):
+    """Masked 4-way cross-entropy + accuracy counts. ex_mask excludes pad rows."""
+    mi = assemble(shared, batch)
+    rngs = {"dropout": dropout_rng} if train else None
+    out = model.apply(params, shared, mi, train=train, rngs=rngs)
+    logp = jax.nn.log_softmax(out.logits)                       # [N, 4]
+    nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
+    w = mi.ex_mask.astype(logp.dtype)
+    wsum = jnp.maximum(w.sum(), 1.0)
+    loss = (nll * w).sum() / wsum
+    correct = ((jnp.argmax(out.logits, -1) == mi.label).astype(logp.dtype) * w).sum()
+    return loss, {"correct": correct, "count": w.sum(), "loss_sum": (nll * w).sum()}
+
+
+def init_state(cfg: Config, model: FVTAModel, shared: SharedTables, batch: Batch,
+               seed: int | None = None) -> TrainState:
+    seed = cfg.train.seed if seed is None else seed
+    key = jax.random.key(seed)
+    k_init, k_run = jax.random.split(key)
+
+    @jax.jit
+    def _init(k, sh, b):
+        mi = assemble(sh, b)
+        return model.init(k, sh, mi, train=False)
+
+    params = _init(k_init, shared, batch)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        step=jnp.asarray(0, jnp.int32),
+        rng_key=jax.random.key_data(k_run),
+    )
+
+
+def make_train_step(cfg: Config, model: FVTAModel):
+    opt = make_optimizer(cfg)
+
+    def _wrapped_loss(params, shared, batch, k):
+        return loss_and_metrics(model, params, shared, batch, k, True)
+
+    def train_step(state: TrainState, shared: SharedTables, batch: Batch):
+        key = jax.random.wrap_key_data(state.rng_key)
+        key, k_drop = jax.random.split(key)
+        (loss, m), grads = jax.value_and_grad(_wrapped_loss, has_aux=True)(
+            state.params, shared, batch, k_drop
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng_key=jax.random.key_data(key),
+        )
+        metrics = {"loss": loss, "acc": m["correct"] / jnp.maximum(m["count"], 1.0)}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model: FVTAModel):
+    def eval_step(params, shared: SharedTables, batch: Batch):
+        _, m = loss_and_metrics(model, params, shared, batch, None, False)
+        return m
+
+    return jax.jit(eval_step)
+
+
+def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
+             batch_size: int, mesh=None) -> dict:
+    """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py)."""
+    tot_correct = tot_count = tot_loss = 0.0
+    for batch in dataset.get_batches(batch_size, shuffle=False):
+        batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
+        m = eval_step(params, shared, batch)
+        tot_correct += float(m["correct"])
+        tot_count += float(m["count"])
+        tot_loss += float(m["loss_sum"])
+    return {
+        "acc": tot_correct / max(tot_count, 1.0),
+        "loss": tot_loss / max(tot_count, 1.0),
+        "count": int(tot_count),
+    }
+
+
+def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
+          metrics_path: str | None = None, echo: bool = True) -> dict:
+    """Full training: epochs over train split, periodic val, keep-best checkpoints.
+
+    Returns {"best_val_acc", "steps", "state"} for programmatic use (tests/serving).
+    """
+    model = FVTAModel(cfg=cfg)
+    shared = SharedTables.from_packed(packed.shared)
+    train_ds = Dataset(packed, "train")
+    val_ds = Dataset(packed, "val") if packed.splits.get("val") is not None and len(
+        packed.splits["val"]["label"]) else None
+
+    mesh = make_mesh(cfg.mesh) if cfg.mesh.num_devices > 1 else None
+    if mesh is not None:
+        shared = jax.device_put(shared, replicated(mesh))
+
+    first = device_put_batch(next(iter(train_ds.get_batches(cfg.train.batch_size))))
+    state = init_state(cfg, model, shared, first)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
+    start_epoch = 0
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(jax.tree.map(lambda x: x, state))
+        start_epoch = int(state.step) // max(train_ds.num_batches(cfg.train.batch_size), 1)
+
+    train_step = make_train_step(cfg, model)
+    eval_step = make_eval_step(cfg, model)
+    log = MetricsLogger(metrics_path, echo=echo)
+    timer = Timer()
+    best_val = -1.0
+    t = cfg.train
+    done = False
+
+    for epoch in range(start_epoch, t.num_epochs):
+        if done:
+            break
+        for batch in train_ds.get_batches(t.batch_size, shuffle=True, seed=t.seed,
+                                          epoch=epoch):
+            batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
+            timer.start()
+            state, m = train_step(state, shared, batch)
+            jax.block_until_ready(m["loss"])
+            timer.stop()
+            step = int(state.step)
+            if step % t.log_period == 0:
+                bs = t.batch_size
+                log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
+                        acc=float(m["acc"]),
+                        qa_pairs_per_sec=bs / max(timer.mean(), 1e-9),
+                        p50_step_ms=timer.p50() * 1e3)
+                timer.reset()
+            if val_ds is not None and step % t.val_period == 0:
+                vm = evaluate(eval_step, state.params, shared, val_ds,
+                              t.eval_batch_size, mesh)
+                log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
+                best_val = max(best_val, vm["acc"])
+                ckpt.save(step, state, val_acc=vm["acc"])
+            elif step % t.save_period == 0:
+                ckpt.save(step, state)
+            if num_steps is not None and step >= num_steps:
+                done = True
+                break
+
+    # final val + save
+    step = int(state.step)
+    if val_ds is not None:
+        vm = evaluate(eval_step, state.params, shared, val_ds, t.eval_batch_size, mesh)
+        log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
+        best_val = max(best_val, vm["acc"])
+        ckpt.save(step, state, val_acc=vm["acc"])
+    else:
+        ckpt.save(step, state)
+    ckpt.wait()
+    log.close()
+    return {"best_val_acc": best_val, "steps": step, "state": state, "model": model,
+            "shared": shared, "mesh": mesh}
+
+
+def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
+         split: str = "test", metrics_path: str | None = None, echo: bool = True) -> dict:
+    """Reference main.py --is_test: restore (best) checkpoint, report accuracy."""
+    model = FVTAModel(cfg=cfg)
+    shared = SharedTables.from_packed(packed.shared)
+    ds = Dataset(packed, split)
+    first = device_put_batch(next(iter(ds.get_batches(cfg.train.eval_batch_size))))
+    state = init_state(cfg, model, shared, first)
+    ckpt = CheckpointManager(out_dir, cfg)
+    state = ckpt.restore(state, best=load_best)
+    eval_step = make_eval_step(cfg, model)
+    timer = Timer()
+    timer.start()
+    m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size)
+    timer.stop()
+    log = MetricsLogger(metrics_path, echo=echo)
+    log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],
+            wall_s=timer.samples[0])
+    log.close()
+    return m

@@ -1,0 +1,109 @@
+"""End-to-end: overfit the synthetic mini-dataset (SURVEY.md section 4 item 3),
+checkpoint save/restore/resume, and the 3-command CLI flow."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import Config, ModelConfig, TrainConfig
+from fvta_memexqa_tpu.data import Dataset, load_pack
+from fvta_memexqa_tpu.train import (
+    evaluate,
+    make_eval_step,
+    test as run_test,
+    train as run_train,
+)
+
+
+def overfit_config(packed, num_epochs=60) -> Config:
+    cfg = Config()
+    return cfg.replace(
+        data=packed.cfg,
+        model=ModelConfig(hidden_dim=16, char_emb_dim=8, char_cnn_filters=16,
+                          keep_prob=1.0),
+        train=TrainConfig(batch_size=8, eval_batch_size=8, learning_rate=2e-3,
+                          num_epochs=num_epochs, val_period=50, save_period=100,
+                          log_period=50, seed=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(packed_synth, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    cfg = overfit_config(packed_synth)
+    res = run_train(cfg, packed_synth, out, metrics_path=os.path.join(out, "m.jsonl"),
+                    echo=False)
+    return cfg, res, out
+
+
+class TestOverfit:
+    def test_train_accuracy_reaches_100(self, packed_synth, trained):
+        cfg, res, out = trained
+        eval_step = make_eval_step(cfg, res["model"])
+        m = evaluate(eval_step, res["state"].params, res["shared"],
+                     Dataset(packed_synth, "train"), 8)
+        assert m["acc"] == 1.0, f"failed to overfit: train acc {m['acc']}"
+
+    def test_val_acc_recorded(self, trained):
+        _, res, out = trained
+        assert res["best_val_acc"] >= 0.0
+        lines = [json.loads(l) for l in open(os.path.join(out, "m.jsonl"))]
+        assert any(r["event"] == "val" for r in lines)
+        assert any(r["event"] == "train" and "qa_pairs_per_sec" in r for r in lines)
+
+    def test_checkpoint_restore_and_test_fn(self, packed_synth, trained):
+        cfg, res, out = trained
+        m = run_test(cfg, packed_synth, out, load_best=True, split="train", echo=False)
+        assert m["acc"] == 1.0  # restored params reproduce the overfit exactly
+        assert m["count"] == Dataset(packed_synth, "train").n
+
+    def test_resume_continues_from_checkpoint(self, packed_synth, tmp_path):
+        out = str(tmp_path / "resume_run")
+        cfg = overfit_config(packed_synth, num_epochs=2)
+        res1 = run_train(cfg, packed_synth, out, echo=False)
+        steps1 = res1["steps"]
+        cfg2 = overfit_config(packed_synth, num_epochs=4)
+        res2 = run_train(cfg2, packed_synth, out, echo=False)
+        assert res2["steps"] > steps1  # resumed, not restarted
+
+
+class TestCLI:
+    def test_full_cli_flow(self, tmp_path):
+        """synth → prepro → train → test through the real CLI surface."""
+        raw = str(tmp_path / "raw")
+        packdir = str(tmp_path / "pack")
+        rundir = str(tmp_path / "run")
+        env = {**os.environ, "FVTA_PLATFORM": "cpu"}
+        py = sys.executable
+
+        def run(args):
+            r = subprocess.run([py, "-m", "fvta_memexqa_tpu.cli", *args],
+                               capture_output=True, text=True, env=env,
+                               cwd="/root/repo", timeout=900)
+            assert r.returncode == 0, f"{args}: {r.stderr[-2000:]}"
+            return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+
+        run(["synth", raw, "--num-questions", "12", "--num-albums", "3"])
+        out = json.loads(run([
+            "prepro", f"{raw}/qas.json", f"{raw}/album_info.json",
+            f"{raw}/test_question.ids", f"{raw}/glove.txt", f"{raw}/photo_feats.npz",
+            packdir, "--max-albums", "2", "--max-photos", "4",
+            "--max-question-len", "10", "--max-answer-len", "4", "--max-sent-len", "6",
+            "--max-album-text-len", "8", "--max-word-len", "8", "--image-feat-dim", "64",
+        ]))
+        assert out["splits"]["train"] > 0 and out["splits"]["test"] > 0
+        out = json.loads(run([
+            "train", packdir, rundir, "--hidden-dim", "8", "--char-emb-dim", "4",
+            "--char-cnn-filters", "8", "--num-epochs", "2", "--batch-size", "4",
+            "--val-period", "5", "--log-period", "5",
+        ]))
+        assert out["steps"] > 0
+        out = json.loads(run(["test", packdir, rundir]))
+        assert 0.0 <= out["accuracy"] <= 1.0 and out["count"] == 3
+        assert os.path.exists(os.path.join(rundir, "config.json"))
+        assert os.path.exists(os.path.join(rundir, "metrics.jsonl"))
