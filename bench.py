@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line with the headline metric.
+
+Headline: MemexQA-shaped FVTA inference throughput (QA-pairs/sec) on this chip, at
+the best batch size from a small sweep; p50 per-question latency at batch 8 is
+reported alongside (BASELINE.json metric set). vs_baseline divides by the stored
+JAX-CPU batch-8 throughput in baseline_cpu.json — the documented stand-in for the
+unrunnable TF1 CPU reference (BASELINE.md "The operative baseline"). Regenerate the
+stored baseline with: python bench.py --record-cpu-baseline
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_cpu.json")
+
+
+def main():
+    record_cpu = "--record-cpu-baseline" in sys.argv
+    # default flips to "1" once the Pallas kernels land
+    use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0") not in ("0", "false")
+    if record_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from fvta_memexqa_tpu.bench_lib import bench_inference, realistic_config
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    cfg = realistic_config(use_pallas=(use_pallas and platform == "tpu"))
+
+    if record_cpu:
+        res = bench_inference(cfg, batch_sizes=(8,), k_small=5, k_large=25, reps=2)
+        rec = {
+            "platform": platform,
+            "batch_size": 8,
+            "qa_pairs_per_sec": res[0].qa_pairs_per_sec,
+            "p50_latency_ms": res[0].p50_latency_ms,
+            "note": "JAX-on-CPU batch-8 stand-in baseline (see BASELINE.md)",
+        }
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(json.dumps(rec))
+        return
+
+    results = bench_inference(cfg, batch_sizes=(8, 64, 256))
+    best = max(results, key=lambda r: r.qa_pairs_per_sec)
+    b8 = next(r for r in results if r.batch_size == 8)
+
+    vs = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+        vs = best.qa_pairs_per_sec / base["qa_pairs_per_sec"]
+
+    for r in results:
+        print(
+            f"bs={r.batch_size}: {r.qa_pairs_per_sec:.1f} qa/s, "
+            f"p50 {r.p50_latency_ms:.2f} ms, compile {r.compile_s:.1f}s",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": "qa_pairs_per_sec",
+        "value": round(best.qa_pairs_per_sec, 2),
+        "unit": "qa/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "batch_size": best.batch_size,
+        "p50_latency_ms_b8": round(b8.p50_latency_ms, 3),
+        "platform": platform,
+        "pallas": cfg.model.use_pallas,
+    }))
+
+
+if __name__ == "__main__":
+    main()

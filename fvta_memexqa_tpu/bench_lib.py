@@ -1,0 +1,192 @@
+"""Benchmark harness: MemexQA-shaped inference/training throughput + latency.
+
+Implements the driver's benchmark (BASELINE.json config 1: "MemexQA v1.1 test-set
+inference, pretrained FVTA checkpoint, batch 8" — plus a batch sweep for peak
+throughput). Because the real dataset is not present in the sandbox (SURVEY.md
+provenance), inputs are random tensors with the REAL dataset's shapes and vocab scale:
+the compute graph (embedding gathers, 6x2 LSTM scans per album, FVTA correlation +
+focal softmax, 4-way scorer) is identical to a real checkpoint's, so throughput and
+latency are representative; accuracy is exercised by the test suite instead.
+Methodology recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvta_memexqa_tpu.config import Config, DataConfig, ModelConfig
+from fvta_memexqa_tpu.data.device_prepro import SharedTables, assemble
+from fvta_memexqa_tpu.data.pipeline import Batch
+from fvta_memexqa_tpu.models.fvta import FVTAModel
+
+
+def realistic_config(use_pallas: bool = False, dtype: str = "float32") -> Config:
+    """MemexQA v1.1-scale shapes (SURVEY.md: ~20.8k QAs, 630 albums, 5090 photos,
+    feat dim 2537, GloVe 100d; hidden 100 per direction as in the paper)."""
+    cfg = Config()
+    return cfg.replace(
+        data=DataConfig(
+            max_albums=4,
+            max_photos=12,
+            max_question_len=30,
+            max_answer_len=8,
+            max_sent_len=10,
+            max_album_text_len=24,
+            max_word_len=16,
+            image_feat_dim=2537,
+            word_emb_dim=100,
+            word_vocab_size=12000,
+            char_vocab_size=70,
+            num_glove_words=10000,
+        ),
+        model=ModelConfig(hidden_dim=100, use_pallas=use_pallas, dtype=dtype),
+    )
+
+
+def synth_shared(cfg: Config, num_albums: int = 630, num_photos: int = 5090,
+                 seed: int = 0) -> SharedTables:
+    d = cfg.data
+    rng = np.random.default_rng(seed)
+    n_alb, n_ph = num_albums + 1, num_photos + 1
+
+    def words(shape, fill=0.9):
+        w = rng.integers(2, d.word_vocab_size, shape).astype(np.int32)
+        return w
+
+    def chars(shape):
+        return rng.integers(2, d.char_vocab_size, shape).astype(np.int32)
+
+    photo_idx = rng.integers(1, n_ph, (n_alb, d.max_photos)).astype(np.int32)
+    feats = rng.normal(0, 1, (n_ph, d.image_feat_dim)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    return SharedTables(
+        word_emb=jnp.asarray(rng.normal(0, 0.5, (d.word_vocab_size, d.word_emb_dim))
+                             .astype(np.float32)),
+        photo_feats=jnp.asarray(feats),
+        album_photo_idx=jnp.asarray(photo_idx),
+        album_photo_mask=jnp.asarray(np.ones((n_alb, d.max_photos), bool)),
+        photo_title_words=jnp.asarray(words((n_alb, d.max_photos, d.max_sent_len))),
+        photo_title_chars=jnp.asarray(
+            chars((n_alb, d.max_photos, d.max_sent_len, d.max_word_len))),
+        photo_title_mask=jnp.asarray(np.ones((n_alb, d.max_photos, d.max_sent_len), bool)),
+        album_text_words=jnp.asarray(words((n_alb, 4, d.max_album_text_len))),
+        album_text_chars=jnp.asarray(chars((n_alb, 4, d.max_album_text_len, d.max_word_len))),
+        album_text_mask=jnp.asarray(np.ones((n_alb, 4, d.max_album_text_len), bool)),
+    )
+
+
+def synth_batch(cfg: Config, batch_size: int, num_albums: int = 630,
+                seed: int = 1) -> Batch:
+    d = cfg.data
+    rng = np.random.default_rng(seed)
+    return Batch(
+        q_words=jnp.asarray(rng.integers(2, d.word_vocab_size,
+                                         (batch_size, d.max_question_len)).astype(np.int32)),
+        q_chars=jnp.asarray(rng.integers(2, d.char_vocab_size,
+                                         (batch_size, d.max_question_len, d.max_word_len))
+                            .astype(np.int32)),
+        q_mask=jnp.asarray(np.ones((batch_size, d.max_question_len), bool)),
+        choice_words=jnp.asarray(rng.integers(2, d.word_vocab_size,
+                                              (batch_size, 4, d.max_answer_len))
+                                 .astype(np.int32)),
+        choice_chars=jnp.asarray(rng.integers(2, d.char_vocab_size,
+                                              (batch_size, 4, d.max_answer_len, d.max_word_len))
+                                 .astype(np.int32)),
+        choice_mask=jnp.asarray(np.ones((batch_size, 4, d.max_answer_len), bool)),
+        album_idx=jnp.asarray(rng.integers(1, num_albums + 1,
+                                           (batch_size, d.max_albums)).astype(np.int32)),
+        album_mask=jnp.asarray(np.ones((batch_size, d.max_albums), bool)),
+        label=jnp.asarray(rng.integers(0, 4, batch_size).astype(np.int32)),
+        ex_mask=jnp.asarray(np.ones(batch_size, bool)),
+    )
+
+
+@dataclass
+class BenchResult:
+    batch_size: int
+    qa_pairs_per_sec: float
+    p50_latency_ms: float
+    compile_s: float
+
+
+def _timed_loop_fn(model: FVTAModel):
+    """K dependency-chained forwards inside ONE jit.
+
+    Measurement methodology (recorded in BASELINE.md): on this box the TPU sits
+    behind the axon tunnel, where (a) block_until_ready does not actually block and
+    (b) every host<->device fetch pays a large, variable round-trip, so naive
+    per-call wall timing is meaningless. Instead we run K forwards inside one jitted
+    fori_loop with a forced data dependency between iterations (each step's output
+    perturbs the next step's input by a runtime-zero the compiler cannot fold, which
+    defeats loop-invariant code motion) and time two different K values; the slope
+    (d_K2 - d_K1)/(K2 - K1) cancels the constant dispatch+fetch overhead and yields
+    pure on-device step time.
+    """
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def fwd_loop(p, sh, b, k):
+        def body(i, carry):
+            acc, feedback = carry
+            # Perturb an input on EVERY independent compute path (question, choices,
+            # album/photo gathers + all context encoders) or XLA hoists the
+            # untouched paths out of the loop and the measurement undercounts.
+            b2 = b.replace(
+                q_words=b.q_words + feedback,
+                choice_words=b.choice_words + feedback,
+                album_idx=b.album_idx + feedback,
+            )
+            lg = model.apply(p, sh, assemble(sh, b2), train=False).logits
+            s = lg.sum()
+            fb = jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)  # 0 at runtime
+            return acc + s, fb
+
+        return jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), jnp.int32(0)))[0]
+
+    return fwd_loop
+
+
+def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
+                    k_large: int = 250, reps: int = 3, seed: int = 0) -> list[BenchResult]:
+    model = FVTAModel(cfg=cfg)
+    shared = synth_shared(cfg, seed=seed)
+    fwd_loop = _timed_loop_fn(model)
+    results = []
+    params = None
+    for bs in batch_sizes:
+        batch = synth_batch(cfg, bs, seed=seed + 1)
+        if params is None:
+            @jax.jit
+            def _init(k, sh, b):
+                return model.init(k, sh, assemble(sh, b), train=False)
+            params = _init(jax.random.key(0), shared, batch)
+
+        t0 = time.perf_counter()
+        np.asarray(fwd_loop(params, shared, batch, k_small))
+        compile_s = time.perf_counter() - t0
+        np.asarray(fwd_loop(params, shared, batch, k_large))  # compile large too
+
+        slopes = []
+        for _ in range(reps):
+            np.asarray(fwd_loop(params, shared, batch, k_small))  # drain queue
+            t0 = time.perf_counter()
+            np.asarray(fwd_loop(params, shared, batch, k_small))
+            d1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(fwd_loop(params, shared, batch, k_large))
+            d2 = time.perf_counter() - t0
+            slopes.append((d2 - d1) / (k_large - k_small))
+        per = sorted(slopes)[len(slopes) // 2]  # median slope
+        results.append(BenchResult(
+            batch_size=bs,
+            qa_pairs_per_sec=bs / per,
+            p50_latency_ms=per * 1e3,
+            compile_s=compile_s,
+        ))
+    return results
