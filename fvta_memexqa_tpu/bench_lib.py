@@ -67,6 +67,7 @@ def synth_shared(cfg: Config, num_albums: int = 630, num_photos: int = 5090,
     return SharedTables(
         word_emb=jnp.asarray(rng.normal(0, 0.5, (d.word_vocab_size, d.word_emb_dim))
                              .astype(np.float32)),
+        vocab_chars=jnp.asarray(chars((d.word_vocab_size, d.max_word_len))),
         photo_feats=jnp.asarray(feats),
         album_photo_idx=jnp.asarray(photo_idx),
         album_photo_mask=jnp.asarray(np.ones((n_alb, d.max_photos), bool)),

@@ -76,6 +76,9 @@ class ModelConfig:
     attention: str = "fvta"      # fvta | flat | none  (ablation registry, SURVEY.md B-config 3)
     similarity: str = "trilinear"  # trilinear | dot | bilinear  (correlation kernel)
     use_pallas: bool = False     # swap Pallas fused kernels in behind this flag
+    vocab_embed: bool = True     # compute word+char+highway embedding once per VOCAB
+                                 # word and gather per token (identical math, ~5x less
+                                 # embed compute); False = per-token (parity testing)
     dtype: str = "float32"       # compute dtype for encoders/attention ("bfloat16" on TPU)
     forget_bias: float = 1.0     # TF1 BasicLSTMCell forget-gate bias (parity-critical)
 

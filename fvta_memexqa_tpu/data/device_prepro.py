@@ -24,6 +24,7 @@ class SharedTables:
     """HBM-resident dedup tables (device mirror of pack.py's PackedShared)."""
 
     word_emb: jnp.ndarray           # f32 [V, D]; frozen rows handled by models/embed.py
+    vocab_chars: jnp.ndarray        # i32 [V, W] char ids per vocab word
     photo_feats: jnp.ndarray        # f32 [num_photos+1, F]
     album_photo_idx: jnp.ndarray    # i32 [num_albums+1, P]
     album_photo_mask: jnp.ndarray   # bool [num_albums+1, P]
@@ -38,6 +39,7 @@ class SharedTables:
     def from_packed(cls, shared: PackedShared) -> "SharedTables":
         return cls(
             word_emb=jnp.asarray(shared.word_emb_init),
+            vocab_chars=jnp.asarray(shared.vocab_chars),
             photo_feats=jnp.asarray(shared.photo_feats),
             album_photo_idx=jnp.asarray(shared.album_photo_idx),
             album_photo_mask=jnp.asarray(shared.album_photo_mask),

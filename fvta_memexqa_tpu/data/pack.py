@@ -38,6 +38,8 @@ ALBUM_TEXT_FIELDS = ("album_title", "album_desc", "when", "where")
 @dataclass
 class PackedShared:
     word_emb_init: np.ndarray       # f32 [V, D]
+    vocab_chars: np.ndarray         # i32 [V, W] char ids of each vocab word (0-padded);
+                                    # enables the per-vocab embed table (models/embed.py)
     photo_feats: np.ndarray         # f32 [num_photos+1, F]; row 0 is the pad photo
     album_photo_idx: np.ndarray     # i32 [num_albums+1, P] rows into photo_feats
     album_photo_mask: np.ndarray    # bool [num_albums+1, P]
@@ -160,9 +162,14 @@ def pack(
                 used_photo_ids.append(pid)
     n_ph = len(used_photo_ids) + 1
 
+    vocab_chars = np.zeros((vocab.size, cfg.max_word_len), dtype=np.int32)
+    for w, wid in vocab.word2idx.items():
+        vocab_chars[wid] = word_to_char_ids(w, vocab.char2idx, cfg.max_word_len)
+
     feat_dim = cfg.image_feat_dim
     sh = PackedShared(
         word_emb_init=vocab.emb_init,
+        vocab_chars=vocab_chars,
         photo_feats=np.zeros((n_ph, feat_dim), dtype=np.float32),
         album_photo_idx=np.zeros((n_alb, cfg.max_photos), dtype=np.int32),
         album_photo_mask=np.zeros((n_alb, cfg.max_photos), dtype=bool),
@@ -261,7 +268,13 @@ def load_pack(out_dir: str) -> PackedDataset:
         meta = json.load(f)
     cfg = DataConfig(**meta["data_config"])
     with np.load(os.path.join(out_dir, "shared.npz")) as z:
-        shared = PackedShared(**{k: z[k] for k in z.files})
+        fields = {k: z[k] for k in z.files}
+    if "vocab_chars" not in fields:  # packs from before the per-vocab embed table
+        vc = np.zeros((cfg.word_vocab_size, cfg.max_word_len), dtype=np.int32)
+        for w, wid in meta["word2idx"].items():
+            vc[wid] = word_to_char_ids(w, meta["char2idx"], cfg.max_word_len)
+        fields["vocab_chars"] = vc
+    shared = PackedShared(**fields)
     splits = {}
     for name in ("train", "val", "test"):
         path = os.path.join(out_dir, f"data_{name}.npz")

@@ -36,6 +36,16 @@ class WordEmbed(nn.Module):
         f_id = jnp.clip(ids, 0, boundary - 1)
         return jnp.where(is_trainable[..., None], trainable[t_id], frozen_table[f_id])
 
+    def full_table(self, frozen_table: jnp.ndarray) -> jnp.ndarray:
+        """Materialize the complete [V, D] table (frozen GloVe rows + trainable rows).
+
+        Used by the per-vocab embed-table path: all token-embedding compute
+        (char-CNN, highway) runs once over the V vocab rows instead of once per
+        token occurrence — identical math, since it depends only on word identity.
+        """
+        ids = jnp.arange(self.vocab_size)
+        return self(ids, frozen_table)
+
 
 class CharCNN(nn.Module):
     """Char embeddings → width-K 1-D conv (VALID) → ReLU → max-pool over word length."""

@@ -94,11 +94,24 @@ class FVTAModel(nn.Module):
 
     # ---- building blocks -----------------------------------------------------
 
-    def _embed_text(self, words, chars, frozen_table, train: bool):
-        """word ids [..., L] + char ids [..., L, W] → [..., L, d_in]."""
-        w = self.word_embed(words, frozen_table)
-        c = self.char_cnn(chars)
-        x = self.highway(jnp.concatenate([w, c], axis=-1))
+    def _vocab_table(self, shared: SharedTables) -> jnp.ndarray:
+        """[V, d_in] full token-embedding table: word emb + char-CNN + highway
+        computed once over the vocab (cfg.model.vocab_embed fast path)."""
+        w = self.word_embed.full_table(shared.word_emb)
+        c = self.char_cnn(shared.vocab_chars)
+        return self.highway(jnp.concatenate([w, c], axis=-1))
+
+    def _embed_text(self, words, chars, frozen_table, train: bool, vocab_table=None):
+        """word ids [..., L] + char ids [..., L, W] → [..., L, d_in].
+
+        With a vocab_table, the per-token compute collapses to one gather; dropout
+        stays per token position either way (matching the per-token path)."""
+        if vocab_table is not None:
+            x = vocab_table[words]
+        else:
+            w = self.word_embed(words, frozen_table)
+            c = self.char_cnn(chars)
+            x = self.highway(jnp.concatenate([w, c], axis=-1))
         return self.dropout(x, deterministic=not train)
 
     def _encode_words(self, enc, x, mask):
@@ -115,16 +128,18 @@ class FVTAModel(nn.Module):
         n = mi.q_words.shape[0]
         h2 = 2 * m.hidden_dim
 
+        vt = self._vocab_table(shared) if m.vocab_embed else None
+
         # Question: per-word hidden states [N, J, 2H]
-        q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train)
+        q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train, vt)
         h_q, _ = self.enc_word(q_emb, mi.q_mask)
 
         # Choices: summary states [N, 4, 2H]
-        a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train)
+        a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train, vt)
         _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask)
 
         # Photo titles: per-photo summary [N, A, P, 2H]
-        pt_emb = self._embed_text(mi.photo_title_words, mi.photo_title_chars, ft, train)
+        pt_emb = self._embed_text(mi.photo_title_words, mi.photo_title_chars, ft, train, vt)
         _, pt_sum = self._encode_words(self.enc_word, pt_emb, mi.photo_title_mask)
 
         # ---- per-modality time encoders (context tensor assembly) ----
@@ -152,7 +167,7 @@ class FVTAModel(nn.Module):
         seqs.append(x_p)
         masks.append(m_p)
 
-        at_emb = self._embed_text(mi.album_text_words, mi.album_text_chars, ft, train)
+        at_emb = self._embed_text(mi.album_text_words, mi.album_text_chars, ft, train, vt)
         for fi in range(4):  # album_title, album_desc, when, where
             x_f = at_emb[:, :, fi].reshape(n * A, d.max_album_text_len, -1)
             m_f = mi.album_text_mask[:, :, fi].reshape(n * A, d.max_album_text_len)

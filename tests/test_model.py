@@ -90,6 +90,23 @@ class TestModelForward:
         dead = [k for k in dead if not k.endswith(".wh")]
         assert dead == [], f"dead params: {dead}"
 
+    def test_vocab_embed_path_matches_per_token(self, setup, small_config):
+        """The per-vocab embed table must be bit-compatible with per-token embedding
+        (same math, different factorization)."""
+        _, params, shared, mi = setup
+        mc = small_config.model
+        cfg_tok = small_config.replace(
+            model=mc.__class__(**{**mc.__dict__, "vocab_embed": False})
+        )
+        cfg_voc = small_config.replace(
+            model=mc.__class__(**{**mc.__dict__, "vocab_embed": True})
+        )
+        o_tok = FVTAModel(cfg=cfg_tok).apply(params, shared, mi, train=False)
+        o_voc = FVTAModel(cfg=cfg_voc).apply(params, shared, mi, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o_tok.logits), np.asarray(o_voc.logits), rtol=1e-5, atol=1e-6
+        )
+
     def test_frozen_glove_not_in_params(self, setup, small_config):
         _, params, _, _ = setup
         names = [jax.tree_util.keystr(k) for k, _ in
