@@ -122,21 +122,19 @@ class FVTAModel(nn.Module):
 
     # ---- forward -------------------------------------------------------------
 
-    def __call__(self, shared: SharedTables, mi: ModelInputs, train: bool = False) -> ModelOutput:
+    def encode_context(self, shared: SharedTables, mi: ModelInputs,
+                       train: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Album-side encode: ModelInputs → (H_ctx [N, S, T, 2H], ctx_mask [N, S, T]).
+
+        Split out from __call__ so serving (serve.py) can run it ONCE per album and
+        cache the result in HBM — queries then skip the expensive context encoders
+        entirely (streaming album ingestion, BASELINE.json config 5).
+        """
         d, m = self.cfg.data, self.cfg.model
         ft = shared.word_emb
         n = mi.q_words.shape[0]
         h2 = 2 * m.hidden_dim
-
         vt = self._vocab_table(shared) if m.vocab_embed else None
-
-        # Question: per-word hidden states [N, J, 2H]
-        q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train, vt)
-        h_q, _ = self.enc_word(q_emb, mi.q_mask)
-
-        # Choices: summary states [N, 4, 2H]
-        a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train, vt)
-        _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask)
 
         # Photo titles: per-photo summary [N, A, P, 2H]
         pt_emb = self._embed_text(mi.photo_title_words, mi.photo_title_chars, ft, train, vt)
@@ -179,6 +177,23 @@ class FVTAModel(nn.Module):
         # [N*A, 6, T, 2H] → [N, A*6, T, 2H] (sequence axis S groups album-major)
         h_ctx = jnp.stack(seqs, axis=1).reshape(n, A * len(MODALITIES), t_ctx, h2)
         ctx_mask = jnp.stack(masks, axis=1).reshape(n, A * len(MODALITIES), t_ctx)
+        return h_ctx, ctx_mask
+
+    def answer(self, shared: SharedTables, mi: ModelInputs, h_ctx: jnp.ndarray,
+               ctx_mask: jnp.ndarray, train: bool = False) -> ModelOutput:
+        """Query-side: question/choice encode + FVTA attention over (possibly
+        cached) context states + 4-way scorer."""
+        d, m = self.cfg.data, self.cfg.model
+        ft = shared.word_emb
+        vt = self._vocab_table(shared) if m.vocab_embed else None
+
+        # Question: per-word hidden states [N, J, 2H]
+        q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train, vt)
+        h_q, _ = self.enc_word(q_emb, mi.q_mask)
+
+        # Choices: summary states [N, 4, 2H]
+        a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train, vt)
+        _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask)
 
         # ---- FVTA core ----
         sim_params = {}
@@ -212,3 +227,8 @@ class FVTAModel(nn.Module):
         )                                    # [N, 4, 5*2H]
         logits = self.scorer(feats)[..., 0]  # [N, 4]
         return ModelOutput(logits=logits, attention=attn)
+
+    def __call__(self, shared: SharedTables, mi: ModelInputs,
+                 train: bool = False) -> ModelOutput:
+        h_ctx, ctx_mask = self.encode_context(shared, mi, train)
+        return self.answer(shared, mi, h_ctx, ctx_mask, train)

@@ -1,0 +1,244 @@
+"""Fused FVTA attention Pallas kernel (BASELINE.json north star: "the FVTA core —
+the question x context correlation kernel tensor and the hierarchical focal softmax
+over the time and modality axes — becomes a single fused Pallas attention kernel").
+
+One kernel pass computes, per example, everything ops/fvta_ref.fvta_attention does:
+correlation tensor (trilinear/dot kernel), time-level masked softmax, sequence-level
+masked softmax, both attended vectors, and the attention maps — without ever
+materializing the [N, S, T, J] correlation tensor in HBM.
+
+Blockwise over the context-time axis with ONLINE two-level softmax (FlashAttention
+-family rescaling; cf. PAPERS.md FuseMax/FlashAttention entries — pattern only):
+- grid = (N, T/Tb); VMEM scratch carries, across a row of time blocks:
+    run_max[S]  running max of the time-level scores E[s, :t]
+    run_den[S]  running sum of exp(E - run_max)
+    run_v[S,D]  running numerator  sum_t exp(E - run_max) * h[s,t,:]
+    e_buf[S,T]  raw scores (to emit exact normalized attention maps at the end)
+    qmx[1,J]    running max over (s,t) of the masked correlation (question side)
+- on the last block: seq-level scores G[s] = run_max[s] (+log den? no — G is the MAX
+  over t of E, exactly run_max), B = masked softmax over S, ctx = sum_s B * run_v/run_den,
+  question side wq = masked softmax_J(qmx), q~ = wq @ Q, and the exact time/seq maps.
+
+This linearizes HBM traffic in T (h is streamed block by block), which is what makes
+the TGIF-QA-style long-sequence config (BASELINE.json config 4) fit on chip; the
+context-parallel multi-chip version composes the same online stats across devices
+(parallel/cp.py).
+
+Backward: custom_vjp rematerializing through ops/fvta_ref (exact same math), the
+standard recompute strategy for fused attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, fvta_attention, similarity_tensor
+
+NEG = -1e30
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
+            ctx_ref, qatt_ref, ta_ref, sa_ref,
+            run_max, run_den, run_v, e_buf, qmx, *, num_tblocks: int):
+    tb_i = pl.program_id(1)
+    s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    j = q_ref.shape[1]
+
+    @pl.when(tb_i == 0)
+    def _init():
+        run_max[:] = jnp.full_like(run_max, NEG)
+        run_den[:] = jnp.zeros_like(run_den)
+        run_v[:] = jnp.zeros_like(run_v)
+        qmx[:] = jnp.full_like(qmx, NEG)
+
+    h = h_ref[0]                                   # [S, Tb, D]
+    cm = cm_ref[0]                                 # [S, Tb] f32
+    q = q_ref[0]                                   # [J, D]
+    qm = qm_ref[0]                                 # [1, J] f32
+
+    # trilinear correlation: <wx,h> + <wy,q> + (h*wxy)·q   (dot kernel = wx=wy=0, wxy=1)
+    # Kept 3-D [S, Tb, J] throughout: lane-crossing reshapes (e.g. [S,Tb]→[S*Tb,1])
+    # are unsupported shape casts on TPU; sublane splits ([S*Tb,J]→[S,Tb,J]) are fine.
+    hf = h.reshape(s * tb, d)
+    c = jax.lax.dot_general(hf * wxy_ref[0], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).reshape(s, tb, j)
+    sx = jnp.sum(h * wx_ref[0], axis=-1, keepdims=True)             # [S, Tb, 1]
+    sy = jnp.sum(q * wy_ref[0], axis=-1, keepdims=True).T.reshape(1, 1, j)
+    c = c + sx + sy
+
+    # context scores: max over VALID question words (exp_mask semantics)
+    c_jmasked = c + (1.0 - qm.reshape(1, 1, j)) * NEG               # [S, Tb, J]
+    e = jnp.max(c_jmasked, axis=-1)                                 # [S, Tb]
+    e = e + (1.0 - cm) * NEG                                        # mask padded t
+    # leading-dim dynamic store (lane-dim dynamic offsets are illegal on TPU)
+    e_buf[tb_i] = e
+
+    # online time-softmax update (flash rescaling)
+    m_old = run_max[:]                                              # [S, 1]
+    m_new = jnp.maximum(m_old, jnp.max(e, axis=-1, keepdims=True))
+    scale = jnp.exp(m_old - m_new)
+    p = jnp.exp(e - m_new)                                          # [S, Tb]
+    run_den[:] = run_den[:] * scale + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p[:, None, :], h, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)[:, 0, :]  # [S, D]
+    run_v[:] = run_v[:] * scale + pv
+    run_max[:] = m_new
+
+    # question-side running max over valid (s, t)
+    c_smasked = c + (1.0 - cm[:, :, None]) * NEG                    # [S, Tb, J]
+    qmx[:] = jnp.maximum(qmx[:], jnp.max(c_smasked, axis=(0, 1)).reshape(1, j))
+
+    @pl.when(tb_i == num_tblocks - 1)
+    def _finalize():
+        seq_valid = (run_max[:] > NEG * 0.5).astype(jnp.float32)    # [S, 1]
+        g = run_max[:] + (1.0 - seq_valid) * NEG
+        g_max = jnp.max(g, axis=0, keepdims=True)
+        b = jnp.exp(g - g_max)
+        b = b / jnp.sum(b, axis=0, keepdims=True)                   # [S, 1] softmax_S
+        v = run_v[:] / jnp.maximum(run_den[:], 1e-30)               # [S, D]
+        ctx_ref[0, 0] = jnp.sum(b * v, axis=0, keepdims=True)[0]
+
+        # exact normalized time weights from the raw score buffer (static block
+        # slices concatenated along lanes — dynamic lane offsets are illegal)
+        inv_den = 1.0 / jnp.maximum(run_den[:], 1e-30)
+        a = jnp.concatenate(
+            [jnp.exp(e_buf[bi] - run_max[:]) * inv_den for bi in range(num_tblocks)],
+            axis=1,
+        )                                                           # [S, T]
+        ta_ref[0] = a * seq_valid
+        sa_ref[0, 0] = (b * seq_valid).reshape(1, s)[0]
+
+        qv = qmx[:] + (1.0 - qm) * NEG
+        qv = qv - jnp.max(qv, axis=-1, keepdims=True)
+        wq = jnp.exp(qv)
+        wq = wq / jnp.sum(wq, axis=-1, keepdims=True)               # [1, J]
+        qatt_ref[0, 0] = jnp.dot(wq, q, preferred_element_type=jnp.float32)[0]
+
+
+def _fvta_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int, interpret: bool):
+    n, s, t, d = h.shape
+    j = q.shape[1]
+    nt = t // tblock
+    kernel = functools.partial(_kernel, num_tblocks=nt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, s, tblock, d), lambda ni, ti: (ni, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # singleton middle axis so block dims == array dims (TPU tiling rule)
+            pl.BlockSpec((1, 1, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, t), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, s, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, 1), jnp.float32),    # run_max
+            pltpu.VMEM((s, 1), jnp.float32),    # run_den
+            pltpu.VMEM((s, d), jnp.float32),    # run_v
+            pltpu.VMEM((nt, s, tblock), jnp.float32),  # e_buf (raw scores, all blocks)
+            pltpu.VMEM((1, j), jnp.float32),    # qmx
+        ],
+        interpret=interpret,
+    )(h, cm_f, q, qm_f, wx, wy, wxy)
+
+
+def _pick_tblock(t: int, max_block: int = 512) -> int:
+    for cand in range(min(t, max_block), 0, -1):
+        if t % cand == 0:
+            return cand
+    return t
+
+
+def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: dict,
+                          tblock: int | None = None, interpret: bool | None = None
+                          ) -> AttentionOutput:
+    """Drop-in fused replacement for similarity_tensor + fvta_attention.
+
+    Supports similarity in {"trilinear", "dot"}; bilinear falls back to the XLA
+    reference path (a [D, D] kernel matmul inside the kernel is not worth fusing).
+    """
+    d = h.shape[-1]
+    # Dispatch: the fused kernel wins when the modality axis is wide (MemexQA:
+    # S = albums x 6). For thin-S long-sequence shapes (TGIF-style S<8) the S-padding
+    # required by Mosaic sublane rules costs more than the fusion saves and the XLA
+    # path is already memory-linear in T, so use it there.
+    if similarity not in ("trilinear", "dot") or h.shape[1] < 8:
+        c = similarity_tensor(h, q, similarity, sim_params)
+        return fvta_attention(h, ctx_mask, q, q_mask, c)
+    if similarity == "trilinear":
+        wx, wy, wxy = sim_params["w_x"], sim_params["w_y"], sim_params["w_xy"]
+    else:  # dot
+        wx = jnp.zeros(d, h.dtype)
+        wy = jnp.zeros(d, h.dtype)
+        wxy = jnp.ones(d, h.dtype)
+    return _core(h, ctx_mask.astype(jnp.float32), q, q_mask.astype(jnp.float32),
+                 wx, wy, wxy, tblock, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _core(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    return _core_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret)
+
+
+def _core_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    n, s, t, d = h.shape
+    # Mosaic mis-lowers some reductions at S<8 (sublane underflow); padded sequences
+    # are fully masked so they contribute nothing and are sliced back off below.
+    s_pad = max(s, 8)
+    if s_pad != s:
+        h = jnp.pad(h, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        cm_f = jnp.pad(cm_f, ((0, 0), (0, s_pad - s), (0, 0)))
+    tb = tblock or _pick_tblock(t)
+    ctx, qatt, ta, sa = _fvta_pallas_call(
+        h, cm_f, q, qm_f[:, None, :], wx[None], wy[None], wxy[None], tb, interpret
+    )
+    return AttentionOutput(context=ctx[:, 0], question=qatt[:, 0],
+                           time_attn=ta[:, :s], seq_attn=sa[:, 0, :s])
+
+
+def _core_fwd(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    out = _core_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret)
+    return out, (h, cm_f, q, qm_f, wx, wy, wxy)
+
+
+def _core_bwd(tblock, interpret, res, g):
+    h, cm_f, q, qm_f, wx, wy, wxy = res
+
+    def ref(h_, q_, wx_, wy_, wxy_):
+        c = similarity_tensor(h_, q_, "trilinear",
+                              {"w_x": wx_, "w_y": wy_, "w_xy": wxy_})
+        return fvta_attention(h_, cm_f > 0.5, q_, qm_f > 0.5, c)
+
+    _, vjp = jax.vjp(ref, h, q, wx, wy, wxy)
+    dh, dq, dwx, dwy, dwxy = vjp(g)
+    return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f), dwx, dwy, dwxy)
+
+
+_core.defvjp(_core_fwd, _core_bwd)

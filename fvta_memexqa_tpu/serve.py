@@ -1,0 +1,405 @@
+"""Serving: streaming album ingestion + concurrent question answering.
+
+BASELINE.json config 5: "Batched multi-album serving: streaming album ingestion with
+on-TPU preprocessing + concurrent question answering". The reference has no serving
+path at all (SURVEY.md section 3.5) — this is a new capability layered on the split
+model (models/fvta.py encode_context / answer):
+
+- AlbumStore.ingest(): tokenize + pack ONE album on the host (ids only), then run the
+  jitted album encoder on device and cache the resulting [6, T, 2H] context states in
+  HBM. Albums are encoded exactly once, no matter how many questions hit them —
+  amortizing the expensive context encoders, which dominate the full forward.
+- QAEngine.ask(): thread-safe; requests are micro-batched (collected for a few ms or
+  until the batch is full) and answered in ONE jitted query-side call over the cached
+  album encodings. Query latency therefore excludes all album-side compute.
+- serve_http(): stdlib ThreadingHTTPServer with POST /albums, POST /ask, GET /stats.
+
+CLI: python -m fvta_memexqa_tpu.cli serve <packdir> <rundir> [--port 8777]
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvta_memexqa_tpu.config import Config, MODALITIES, NUM_CHOICES
+from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables
+from fvta_memexqa_tpu.data.pack import ALBUM_TEXT_FIELDS, _album_text, _encode_text
+from fvta_memexqa_tpu.data.schema import Album
+from fvta_memexqa_tpu.data.tokenize import tokenize
+from fvta_memexqa_tpu.data.vocab import Vocab
+from fvta_memexqa_tpu.models.fvta import FVTAModel
+
+
+def vocab_view(meta: dict) -> Vocab:
+    """Reconstruct a tokenization-only Vocab from pack metadata (no embedding)."""
+    return Vocab(
+        word2idx=meta["word2idx"],
+        char2idx=meta["char2idx"],
+        num_glove=meta["data_config"]["num_glove_words"],
+        emb_init=np.zeros((0, 0), np.float32),
+    )
+
+
+def _single_album_inputs(cfg: Config, vocab: Vocab, album: Album,
+                         photo_feats: dict[str, np.ndarray]) -> ModelInputs:
+    """Host-side pack of ONE album into a fixed-shape N=1, A=1 ModelInputs (query
+    fields zeroed). Mirrors pack.py's album tables, but built on the fly."""
+    d = cfg.data
+    P, Ts, Tt, W = d.max_photos, d.max_sent_len, d.max_album_text_len, d.max_word_len
+    feats = np.zeros((1, 1, P, d.image_feat_dim), np.float32)
+    pmask = np.zeros((1, 1, P), bool)
+    ptw = np.zeros((1, 1, P, Ts), np.int32)
+    ptc = np.zeros((1, 1, P, Ts, W), np.int32)
+    ptm = np.zeros((1, 1, P, Ts), bool)
+    atw = np.zeros((1, 1, 4, Tt), np.int32)
+    atc = np.zeros((1, 1, 4, Tt, W), np.int32)
+    atm = np.zeros((1, 1, 4, Tt), bool)
+    for p, pid in enumerate(album.photo_ids[:P]):
+        if pid in photo_feats:
+            f = np.asarray(photo_feats[pid], np.float32).reshape(-1)
+            if f.shape[0] != d.image_feat_dim:
+                raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {d.image_feat_dim}")
+            feats[0, 0, p] = f
+            pmask[0, 0, p] = True
+        w, c, m = _encode_text(tokenize(album.photo_titles[p]), vocab, Ts, W)
+        ptw[0, 0, p], ptc[0, 0, p], ptm[0, 0, p] = w, c, m
+    for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
+        w, c, m = _encode_text(tokenize(_album_text(album, fname)), vocab, Tt, W)
+        atw[0, 0, fi], atc[0, 0, fi], atm[0, 0, fi] = w, c, m
+
+    z = np.zeros
+    return ModelInputs(
+        q_words=z((1, d.max_question_len), np.int32),
+        q_chars=z((1, d.max_question_len, W), np.int32),
+        q_mask=z((1, d.max_question_len), bool),
+        choice_words=z((1, NUM_CHOICES, d.max_answer_len), np.int32),
+        choice_chars=z((1, NUM_CHOICES, d.max_answer_len, W), np.int32),
+        choice_mask=z((1, NUM_CHOICES, d.max_answer_len), bool),
+        photo_feats=feats, photo_mask=pmask,
+        photo_title_words=ptw, photo_title_chars=ptc, photo_title_mask=ptm,
+        album_text_words=atw, album_text_chars=atc, album_text_mask=atm,
+        album_mask=np.ones((1, 1), bool),
+        label=z(1, np.int32), ex_mask=np.ones(1, bool),
+    )
+
+
+class AlbumStore:
+    """Thread-safe cache: album_id → encoded context states resident on device."""
+
+    def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
+                 vocab: Vocab):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.shared = shared
+        self.vocab = vocab
+        self._store: dict[str, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._lock = threading.Lock()
+        a1_cfg = cfg.replace(data=cfg.data.__class__(
+            **{**cfg.data.__dict__, "max_albums": 1}))
+        a1_model = FVTAModel(cfg=a1_cfg)
+
+        @jax.jit
+        def _encode(p, sh, mi):
+            return a1_model.apply(p, sh, mi, train=False,
+                                  method=a1_model.encode_context)
+
+        self._encode = _encode
+
+    def ingest(self, album: Album, photo_feats: dict[str, np.ndarray]) -> None:
+        mi = jax.tree.map(jnp.asarray,
+                          _single_album_inputs(self.cfg, self.vocab, album, photo_feats))
+        h, m = self._encode(self.params, self.shared, mi)
+        with self._lock:
+            self._store[album.album_id] = (h[0], m[0])   # [6, T, 2H], [6, T]
+
+    def get_stacked(self, album_ids: list[str]):
+        """Cached encodings for album_ids, padded to max_albums: ([S, T, 2H], [S, T])."""
+        d = self.cfg.data
+        n_mod = len(MODALITIES)
+        with self._lock:
+            entries = [self._store[a] for a in album_ids[: d.max_albums]
+                       if a in self._store]
+        t, h2 = d.max_context_time, 2 * self.cfg.model.hidden_dim
+        h = jnp.zeros((d.max_albums * n_mod, t, h2), jnp.float32)
+        m = jnp.zeros((d.max_albums * n_mod, t), bool)
+        for i, (eh, em) in enumerate(entries):
+            h = h.at[i * n_mod : (i + 1) * n_mod].set(eh)
+            m = m.at[i * n_mod : (i + 1) * n_mod].set(em)
+        return h, m, len(entries)
+
+    @property
+    def num_albums(self) -> int:
+        with self._lock:
+            return len(self._store)
+
+
+@dataclass
+class _Pending:
+    question: str
+    choices: list[str]
+    album_ids: list[str]
+    event: threading.Event = field(default_factory=threading.Event)
+    result: dict | None = None
+
+
+class QAEngine:
+    """Micro-batching concurrent QA over an AlbumStore."""
+
+    def __init__(self, store: AlbumStore, batch_size: int = 8,
+                 batch_window_ms: float = 3.0):
+        self.store = store
+        self.cfg = store.cfg
+        self.batch_size = batch_size
+        self.batch_window = batch_window_ms / 1e3
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        model = store.model
+
+        @jax.jit
+        def _answer(p, sh, mi, h_ctx, ctx_mask):
+            out = model.apply(p, sh, mi, h_ctx, ctx_mask, train=False,
+                              method=model.answer)
+            return out.logits, out.attention.seq_attn
+
+        self._answer = _answer
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        self.stats = {"questions": 0, "batches": 0}
+
+    def ask(self, question: str, choices: list[str], album_ids: list[str],
+            timeout: float = 30.0) -> dict:
+        if len(choices) != NUM_CHOICES:
+            raise ValueError(f"need exactly {NUM_CHOICES} choices")
+        p = _Pending(question, choices, album_ids)
+        self._queue.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        return p.result  # type: ignore[return-value]
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ---- worker --------------------------------------------------------------
+
+    def _encode_query(self, pending: list[_Pending]):
+        d = self.cfg.data
+        n = len(pending)
+        W = d.max_word_len
+        v = self.store.vocab
+        qw = np.zeros((n, d.max_question_len), np.int32)
+        qc = np.zeros((n, d.max_question_len, W), np.int32)
+        qm = np.zeros((n, d.max_question_len), bool)
+        cw = np.zeros((n, NUM_CHOICES, d.max_answer_len), np.int32)
+        cc = np.zeros((n, NUM_CHOICES, d.max_answer_len, W), np.int32)
+        cm = np.zeros((n, NUM_CHOICES, d.max_answer_len), bool)
+        for i, p in enumerate(pending):
+            qw[i], qc[i], qm[i] = _encode_text(tokenize(p.question), v,
+                                               d.max_question_len, W)
+            for ci, ch in enumerate(p.choices):
+                cw[i, ci], cc[i, ci], cm[i, ci] = _encode_text(
+                    tokenize(ch), v, d.max_answer_len, W)
+        return qw, qc, qm, cw, cc, cm
+
+    def _loop(self):
+        d = self.cfg.data
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.batch_window
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for p in batch:
+                    p.result = {"error": repr(e)}
+                    p.event.set()
+
+    def _run_batch(self, pending: list[_Pending]):
+        d = self.cfg.data
+        n = len(pending)
+        bs = self.batch_size
+        qw, qc, qm, cw, cc, cm = self._encode_query(pending)
+
+        def pad(x):
+            return np.pad(x, [(0, bs - n)] + [(0, 0)] * (x.ndim - 1))
+
+        W = d.max_word_len
+        z = np.zeros
+        mi = ModelInputs(
+            q_words=pad(qw), q_chars=pad(qc), q_mask=pad(qm),
+            choice_words=pad(cw), choice_chars=pad(cc), choice_mask=pad(cm),
+            photo_feats=z((bs, 1, 1, d.image_feat_dim), np.float32),
+            photo_mask=z((bs, 1, 1), bool),
+            photo_title_words=z((bs, 1, 1, d.max_sent_len), np.int32),
+            photo_title_chars=z((bs, 1, 1, d.max_sent_len, W), np.int32),
+            photo_title_mask=z((bs, 1, 1, d.max_sent_len), bool),
+            album_text_words=z((bs, 1, 4, d.max_album_text_len), np.int32),
+            album_text_chars=z((bs, 1, 4, d.max_album_text_len, W), np.int32),
+            album_text_mask=z((bs, 1, 4, d.max_album_text_len), bool),
+            album_mask=np.ones((bs, 1), bool),
+            label=z(bs, np.int32), ex_mask=np.ones(bs, bool),
+        )
+        mi = jax.tree.map(jnp.asarray, mi)
+
+        hs, ms, found = [], [], []
+        for p in pending:
+            h, m, k = self.store.get_stacked(p.album_ids)
+            hs.append(h)
+            ms.append(m)
+            found.append(k)
+        s, t = hs[0].shape[0], hs[0].shape[1]
+        h2 = hs[0].shape[2]
+        h_ctx = jnp.stack(hs + [jnp.zeros((s, t, h2))] * (bs - n))
+        ctx_mask = jnp.stack(ms + [jnp.zeros((s, t), bool)] * (bs - n))
+
+        logits, seq_attn = self._answer(self.store.params, self.store.shared, mi,
+                                        h_ctx, ctx_mask)
+        logits = np.asarray(logits)
+        seq_attn = np.asarray(seq_attn)
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        for i, p in enumerate(pending):
+            best = int(np.argmax(logits[i]))
+            p.result = {
+                "answer": p.choices[best],
+                "answer_index": best,
+                "probs": [float(x) for x in probs[i]],
+                "albums_found": found[i],
+                "seq_attention": [float(x) for x in seq_attn[i]],
+            }
+            p.event.set()
+        self.stats["questions"] += n
+        self.stats["batches"] += 1
+
+
+# ---- HTTP surface ------------------------------------------------------------
+
+
+def serve_http(engine: QAEngine, store: AlbumStore,
+               photo_feats: dict[str, np.ndarray], port: int = 8777):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from fvta_memexqa_tpu.data.schema import parse_album_info
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                self._json(200, {"albums": store.num_albums, **engine.stats})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/ask":
+                    res = engine.ask(req["question"], req["choices"],
+                                     req.get("album_ids", []))
+                    self._json(200, res)
+                elif self.path == "/albums":
+                    albums, errs = parse_album_info([req["album"]])
+                    if errs or not albums:
+                        self._json(400, {"error": errs or ["no album"]})
+                        return
+                    album = next(iter(albums.values()))
+                    feats = dict(photo_feats)
+                    for pid, vec in (req.get("photo_feats") or {}).items():
+                        feats[pid] = np.asarray(vec, np.float32)
+                    store.ingest(album, feats)
+                    self._json(200, {"ingested": album.album_id,
+                                     "albums": store.num_albums})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except (KeyError, ValueError, TimeoutError) as e:
+                self._json(400, {"error": repr(e)})
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    print(f"serving on http://127.0.0.1:{port}  (POST /albums, POST /ask, GET /stats)",
+          flush=True)
+    httpd.serve_forever()
+
+
+def build_engine(packdir: str, rundir: str, load_best: bool = True,
+                 batch_size: int = 8):
+    """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store)."""
+    from fvta_memexqa_tpu.checkpoint import CheckpointManager
+    from fvta_memexqa_tpu.config import load_config
+    from fvta_memexqa_tpu.data.pack import load_pack
+    from fvta_memexqa_tpu.data.pipeline import Dataset
+    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+    from fvta_memexqa_tpu.train import init_state
+
+    packed = load_pack(packdir)
+    cfg = load_config(f"{rundir}/config.json").replace(data=packed.cfg)
+    shared = SharedTables.from_packed(packed.shared)
+    model = FVTAModel(cfg=cfg)
+    any_split = next(s for s in ("train", "val", "test") if s in packed.splits)
+    batch = device_put_batch(next(iter(Dataset(packed, any_split).get_batches(
+        cfg.train.eval_batch_size))))
+    state = init_state(cfg, model, shared, batch)
+    ckpt = CheckpointManager(rundir, cfg)
+    state = ckpt.restore(state, best=load_best)
+    vocab = vocab_view(packed.meta)
+    store = AlbumStore(cfg, model, state.params, shared, vocab)
+    engine = QAEngine(store, batch_size=batch_size)
+    return engine, store, packed
+
+
+def main(argv):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="fvta serve")
+    p.add_argument("packdir")
+    p.add_argument("rundir")
+    p.add_argument("--port", type=int, default=8777)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--load-latest", action="store_true")
+    p.add_argument("--raw-albums", default=None,
+                   help="album_info.json to pre-ingest (with --raw-photo-npz)")
+    p.add_argument("--raw-photo-npz", default=None)
+    args = p.parse_args(argv)
+
+    engine, store, packed = build_engine(args.packdir, args.rundir,
+                                         load_best=not args.load_latest,
+                                         batch_size=args.batch_size)
+    feats: dict[str, np.ndarray] = {}
+    if args.raw_albums and args.raw_photo_npz:
+        from fvta_memexqa_tpu.data.schema import parse_album_info
+
+        albums, _ = parse_album_info(args.raw_albums)
+        feats = dict(np.load(args.raw_photo_npz))
+        for a in albums.values():
+            store.ingest(a, feats)
+        print(f"pre-ingested {store.num_albums} albums", flush=True)
+    serve_http(engine, store, feats, port=args.port)

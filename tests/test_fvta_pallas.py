@@ -1,0 +1,108 @@
+"""Fused FVTA Pallas kernel: parity vs the einsum reference, blockwise (online
+softmax) correctness, gradient parity, masked edge cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.ops.fvta_ref import fvta_attention, similarity_tensor
+from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
+
+
+def make_case(n=2, s=8, t=8, j=5, d=6, seed=0, ragged=True):
+    # s defaults to 8: below that fvta_attention_pallas dispatches to the XLA path
+    # (see kernel dispatch comment); s>=8 exercises the actual Pallas kernel.
+    rng = np.random.default_rng(seed)
+    h = rng.normal(0, 1, (n, s, t, d)).astype(np.float32)
+    q = rng.normal(0, 1, (n, j, d)).astype(np.float32)
+    if ragged:
+        t_len = rng.integers(1, t + 1, (n, s))
+        j_len = rng.integers(1, j + 1, n)
+    else:
+        t_len = np.full((n, s), t)
+        j_len = np.full(n, j)
+    cm = np.arange(t)[None, None, :] < t_len[..., None]
+    qm = np.arange(j)[None, :] < j_len[:, None]
+    h = h * cm[..., None]
+    q = q * qm[..., None]
+    params = {
+        "w_x": jnp.asarray(rng.normal(0, 1, d).astype(np.float32)),
+        "w_y": jnp.asarray(rng.normal(0, 1, d).astype(np.float32)),
+        "w_xy": jnp.asarray(rng.normal(0, 1, d).astype(np.float32)),
+    }
+    return jnp.asarray(h), jnp.asarray(cm), jnp.asarray(q), jnp.asarray(qm), params
+
+
+def ref_out(h, cm, q, qm, params, kind="trilinear"):
+    c = similarity_tensor(h, q, kind, params)
+    return fvta_attention(h, cm, q, qm, c)
+
+
+def assert_close(a, b, rtol=1e-5, atol=1e-5):
+    for x, y, name in zip(a, b, ("context", "question", "time_attn", "seq_attn")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
+                                   err_msg=name)
+
+
+class TestFVTAPallasParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_trilinear_matches_ref(self, seed):
+        h, cm, q, qm, p = make_case(seed=seed)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p),
+                     ref_out(h, cm, q, qm, p))
+
+    def test_dot_matches_ref(self):
+        h, cm, q, qm, p = make_case(seed=3)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "dot", {}),
+                     ref_out(h, cm, q, qm, {}, kind="dot"))
+
+    def test_bilinear_falls_back(self):
+        h, cm, q, qm, _ = make_case(seed=4, d=6)
+        rng = np.random.default_rng(9)
+        p = {"w_bilinear": jnp.asarray(rng.normal(0, 1, (6, 6)).astype(np.float32))}
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "bilinear", p),
+                     ref_out(h, cm, q, qm, p, kind="bilinear"))
+
+    @pytest.mark.parametrize("tblock", [2, 4, 8])
+    def test_blockwise_online_softmax(self, tblock):
+        """Different time-block sizes must all reproduce the single-pass result."""
+        h, cm, q, qm, p = make_case(t=8, seed=5)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=tblock),
+                     ref_out(h, cm, q, qm, p))
+
+    def test_dead_sequence_and_block(self):
+        """A fully-masked sequence and a fully-masked time block stay harmless."""
+        h, cm, q, qm, p = make_case(t=8, seed=6)
+        cm = np.asarray(cm).copy()
+        cm[:, 0, :] = False       # dead sequence
+        cm[:, 1, 4:] = False      # dead second block (tblock=4)
+        cm = jnp.asarray(cm)
+        out = fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=4)
+        ref = ref_out(h, cm, q, qm, p)
+        assert np.isfinite(np.asarray(out.context)).all()
+        assert_close(out, ref)
+
+    def test_larger_shapes(self):
+        h, cm, q, qm, p = make_case(n=4, s=24, t=24, j=30, d=200, seed=7)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p),
+                     ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-4)
+
+
+class TestFVTAPallasGrad:
+    def test_grads_match_ref(self):
+        h, cm, q, qm, p = make_case(seed=8)
+
+        def loss_p(h_, q_, p_):
+            o = fvta_attention_pallas(h_, cm, q_, qm, "trilinear", p_)
+            return (o.context**2).sum() + (o.question**2).sum()
+
+        def loss_r(h_, q_, p_):
+            o = ref_out(h_, cm, q_, qm, p_)
+            return (o.context**2).sum() + (o.question**2).sum()
+
+        g_p = jax.grad(loss_p, argnums=(0, 1, 2))(h, q, p)
+        g_r = jax.grad(loss_r, argnums=(0, 1, 2))(h, q, p)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

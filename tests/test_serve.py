@@ -1,0 +1,187 @@
+"""Serving path: split-model equivalence, album ingestion + cached-context QA,
+micro-batched concurrency, HTTP surface."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import MODALITIES
+from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble, make_synthetic
+from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+from fvta_memexqa_tpu.models import FVTAModel
+from fvta_memexqa_tpu.serve import AlbumStore, QAEngine, vocab_view
+
+
+@pytest.fixture(scope="module")
+def served(packed_synth, small_config):
+    """Model + params + store with all synthetic albums ingested."""
+    shared = SharedTables.from_packed(packed_synth.shared)
+    ds = Dataset(packed_synth, "train")
+    batch = device_put_batch(next(iter(ds.get_batches(4))))
+    mi = assemble(shared, batch)
+    model = FVTAModel(cfg=small_config)
+    params = model.init(jax.random.key(0), shared, mi, train=False)
+    vocab = vocab_view(packed_synth.meta)
+    store = AlbumStore(small_config, model, params, shared, vocab)
+    _, albums, feats, _, _ = make_synthetic(seed=0)
+    for a in albums.values():
+        store.ingest(a, feats)
+    return model, params, shared, store, albums, feats
+
+
+class TestSplitModel:
+    def test_split_equals_monolithic(self, served, packed_synth):
+        model, params, shared, *_ = served
+        ds = Dataset(packed_synth, "train")
+        mi = assemble(shared, device_put_batch(next(iter(ds.get_batches(4)))))
+        full = model.apply(params, shared, mi, train=False)
+        h, m = model.apply(params, shared, mi, train=False,
+                           method=model.encode_context)
+        split = model.apply(params, shared, mi, h, m, train=False,
+                            method=model.answer)
+        np.testing.assert_allclose(np.asarray(full.logits), np.asarray(split.logits),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestAlbumStore:
+    def test_ingest_and_count(self, served):
+        *_, store, albums, feats = served
+        assert store.num_albums == len(albums)
+
+    def test_cached_encoding_matches_batch_path(self, served, packed_synth,
+                                                small_config):
+        """Ingested album states must equal the training-path encode of that album."""
+        model, params, shared, store, albums, feats = served
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(1))))
+        mi = assemble(shared, batch)
+        h_all, m_all = model.apply(params, shared, mi, train=False,
+                                   method=model.encode_context)
+        n_mod = len(MODALITIES)
+        # locate the example's first real album id
+        aidx = int(batch.album_idx[0, 0])
+        # find album_id by matching against the pack's album ordering
+        used = sorted(albums.keys())
+        album_id = used[aidx - 1]  # pack rows are 1-based over sorted used ids
+        cached_h, cached_m = store._store[album_id]
+        np.testing.assert_allclose(np.asarray(h_all[0, :n_mod]),
+                                   np.asarray(cached_h), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m_all[0, :n_mod]),
+                                      np.asarray(cached_m))
+
+
+class TestQAEngine:
+    def test_answers_derivable_question(self, served):
+        model, params, shared, store, albums, feats = served
+        engine = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        try:
+            a0 = albums["album0"]
+            res = engine.ask(
+                f"where did we go on {a0.title} ?",
+                [a0.where, "nowhere", "space", "atlantis"],
+                ["album0"],
+            )
+            assert res["albums_found"] == 1
+            assert len(res["probs"]) == 4
+            assert abs(sum(res["probs"]) - 1.0) < 1e-5
+        finally:
+            engine.close()
+
+    def test_concurrent_asks_batched(self, served):
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=8, batch_window_ms=20.0)
+        try:
+            results = [None] * 6
+            def worker(i):
+                aid = f"album{i % 3}"
+                a = albums[aid]
+                results[i] = engine.ask(f"what year was {a.title} ?",
+                                        ["2007", "2009", "2011", "2013"], [aid])
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert all(r is not None and "answer" in r for r in results)
+            # the window should have coalesced at least some requests
+            assert engine.stats["batches"] < engine.stats["questions"]
+        finally:
+            engine.close()
+
+    def test_unknown_album_reported(self, served):
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=2, batch_window_ms=1.0)
+        try:
+            res = engine.ask("where ?", ["a", "b", "c", "d"], ["no_such_album"])
+            assert res["albums_found"] == 0
+        finally:
+            engine.close()
+
+    def test_wrong_choice_count_rejected(self, served):
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=2)
+        try:
+            with pytest.raises(ValueError):
+                engine.ask("q", ["only", "three", "choices"], [])
+        finally:
+            engine.close()
+
+
+class TestHTTP:
+    def test_http_roundtrip(self, served):
+        import socket
+        from http.server import ThreadingHTTPServer
+
+        model, params, shared, store, albums, feats = served
+        engine = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        # pick a free port
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        from fvta_memexqa_tpu import serve as serve_mod
+
+        th = threading.Thread(
+            target=serve_mod.serve_http, args=(engine, store, feats, port), daemon=True
+        )
+        th.start()
+        import time
+
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(50):
+            try:
+                stats = json.load(urllib.request.urlopen(f"{base}/stats", timeout=1))
+                break
+            except Exception:
+                time.sleep(0.1)
+        assert stats["albums"] == len(albums)
+
+        a1 = albums["album1"]
+        req = urllib.request.Request(
+            f"{base}/ask",
+            data=json.dumps({
+                "question": f"where did we go on {a1.title} ?",
+                "choices": [a1.where, "mars", "narnia", "void"],
+                "album_ids": ["album1"],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.load(urllib.request.urlopen(req, timeout=30))
+        assert "answer" in res and res["albums_found"] == 1
+
+        # bad request -> 400 with error body
+        bad = urllib.request.Request(
+            f"{base}/ask", data=json.dumps({"question": "q"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+        engine.close()
