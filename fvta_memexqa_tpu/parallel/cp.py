@@ -1,0 +1,144 @@
+"""Context parallelism: FVTA focal attention over a time-sharded context.
+
+SURVEY.md section 5 "Long-context / sequence parallelism": for TGIF-QA-style frame
+sequences (BASELINE.json config 4) whose context time axis T exceeds one chip's
+comfortable tiling, the context tensor is sharded [N, S, T/cp, D] over the mesh's
+"ctx" axis and the hierarchical focal softmax is composed from per-shard ONLINE
+softmax statistics — the same (max, denominator, weighted-numerator) triple the
+fused Pallas kernel streams over time blocks (ops/fvta_pallas.py), here combined
+ACROSS DEVICES with XLA collectives that ride ICI:
+
+    m_g   = pmax(m_local)                      one collective max
+    den_g = psum(den_local * exp(m_local - m_g))
+    v_g   = psum(v_local  * exp(m_local - m_g))
+    eq_g  = pmax(eq_local)                     question side
+
+No user-level communication code: `shard_map` + psum/pmax emit the collectives
+(SURVEY.md section 2 "Distributed communication backend": the mesh IS the backend).
+Ulysses-style head sharding is N/A — FVTA has no multi-head structure (SURVEY.md
+section 5, documented reasoning).
+
+The sequence-level softmax (over S) and the question tensors are tiny and
+replicated; only the O(T) terms are sharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, similarity_tensor
+from fvta_memexqa_tpu.ops.masking import VERY_NEGATIVE
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _diff_pmax(x, axis_name: str):
+    """Differentiable cross-device max: jax.lax.pmax has no VJP, but here the max
+    is ALSO a logit (the sequence-level focal score is the max over time of E), so
+    gradients must reach the argmax shard — mirror jnp.max's subgradient by routing
+    the cotangent to the shard(s) achieving the max (split evenly on exact ties).
+    The output is replicated but each shard USES it differently downstream, so the
+    per-shard cotangents must be psum'd before routing to the argmax shard."""
+    return jax.lax.pmax(x, axis_name)
+
+
+def _diff_pmax_fwd(x, axis_name):
+    mg = jax.lax.pmax(x, axis_name)
+    is_max = (x == mg).astype(x.dtype)
+    cnt = jax.lax.psum(is_max, axis_name)
+    return mg, (is_max, cnt)
+
+
+def _diff_pmax_bwd(axis_name, res, g):
+    is_max, cnt = res
+    g_total = jax.lax.psum(g, axis_name)
+    return (is_max * g_total / jnp.maximum(cnt, 1.0),)
+
+
+_diff_pmax.defvjp(_diff_pmax_fwd, _diff_pmax_bwd)
+
+
+def _local_stats(h, cm, q, qm, similarity: str, sim_params: dict):
+    """Per-shard online-softmax statistics of the focal attention.
+
+    h [N, S, Tl, D] (local time shard), cm bool [N, S, Tl], q [N, J, D], qm [N, J].
+    Returns (m [N,S], den [N,S], v [N,S,D], eq [N,J]) with den/v referenced to the
+    LOCAL max m.
+    """
+    c = similarity_tensor(h, q, similarity, sim_params)            # [N, S, Tl, J]
+    cj = c + (1.0 - qm[:, None, None, :].astype(c.dtype)) * VERY_NEGATIVE
+    e = jnp.max(cj, axis=-1)                                       # [N, S, Tl]
+    e = e + (1.0 - cm.astype(e.dtype)) * VERY_NEGATIVE
+    m = jnp.max(e, axis=-1)                                        # [N, S]
+    p = jnp.exp(e - m[..., None])                                  # [N, S, Tl]
+    den = jnp.sum(p, axis=-1)                                      # [N, S]
+    v = jnp.einsum("nst,nstd->nsd", p, h)                          # [N, S, D]
+    cs = c + (1.0 - cm[..., None].astype(c.dtype)) * VERY_NEGATIVE
+    eq = jnp.max(cs, axis=(1, 2))                                  # [N, J]
+    return m, den, v, eq, e
+
+
+def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
+                      axis_name: str = "ctx") -> AttentionOutput:
+    """FVTA attention inside shard_map, context time axis sharded over `axis_name`.
+
+    Returns AttentionOutput with context/question/seq_attn REPLICATED across the
+    axis and time_attn SHARDED like h (each device holds its shard's weights).
+    Numerically identical to the unsharded ops/fvta_ref.fvta_attention.
+    """
+    m, den, v, eq, e = _local_stats(h, cm, q, qm, similarity, sim_params)
+
+    m_g = _diff_pmax(m, axis_name)                                 # [N, S]
+    scale = jnp.exp(m - m_g)
+    den_g = jax.lax.psum(den * scale, axis_name)
+    v_g = jax.lax.psum(v * scale[..., None], axis_name)
+
+    # sequence-level focal softmax over the GLOBAL per-sequence maxima
+    seq_valid = m_g > VERY_NEGATIVE * 0.5                          # [N, S]
+    g = jnp.where(seq_valid, m_g, VERY_NEGATIVE)
+    b = jax.nn.softmax(g, axis=-1) * seq_valid                     # [N, S]
+    b = b / jnp.maximum(b.sum(-1, keepdims=True), 1e-30)
+    vbar = v_g / jnp.maximum(den_g[..., None], 1e-30)              # [N, S, D]
+    ctx = jnp.einsum("ns,nsd->nd", b, vbar)
+
+    eq_g = _diff_pmax(eq, axis_name)                               # [N, J]
+    eqm = eq_g + (1.0 - qm.astype(eq_g.dtype)) * VERY_NEGATIVE
+    wq = jax.nn.softmax(eqm, axis=-1)
+    q_att = jnp.einsum("nj,njd->nd", wq, q)
+
+    time_attn = jnp.exp(e - m_g[..., None]) / jnp.maximum(
+        den_g[..., None], 1e-30) * seq_valid[..., None]
+    return AttentionOutput(context=ctx, question=q_att,
+                           time_attn=time_attn, seq_attn=b)
+
+
+def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx"):
+    """shard_map-wrapped CP attention: h/cm sharded on the time axis over
+    `axis_name`, everything else replicated. Call like the reference attention."""
+    from jax.experimental.shard_map import shard_map
+
+    def fn(h, cm, q, qm, sim_params):
+        return fvta_attention_cp(h, cm, q, qm, similarity, sim_params, axis_name)
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name, None), P(None, None, axis_name),
+                  P(), P(), P()),
+        out_specs=AttentionOutput(
+            context=P(), question=P(),
+            time_attn=P(None, None, axis_name), seq_attn=P(),
+        ),
+        check_rep=False,
+    )
+
+
+def shard_context(mesh: Mesh, h, cm, axis_name: str = "ctx"):
+    """Place (h, cm) with the time axis sharded over the mesh's ctx axis."""
+    hs = NamedSharding(mesh, P(None, None, axis_name, None))
+    ms = NamedSharding(mesh, P(None, None, axis_name))
+    return jax.device_put(h, hs), jax.device_put(cm, ms)

@@ -1,0 +1,137 @@
+"""Mesh/DP/CP on the forced 8-device CPU mesh (SURVEY.md section 4 item 4):
+collectives actually execute; parity against single-device references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from fvta_memexqa_tpu.config import Config, MeshConfig
+from fvta_memexqa_tpu.ops.fvta_ref import fvta_attention, similarity_tensor
+from fvta_memexqa_tpu.parallel.cp import make_cp_attention, shard_context
+from fvta_memexqa_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(MeshConfig(data_parallel=4, context_parallel=2))
+        assert dict(mesh.shape) == {"data": 4, "ctx": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(MeshConfig(data_parallel=16, context_parallel=1))
+
+
+class TestDPTraining:
+    def test_dp_train_step_matches_single_device(self, packed_synth, small_config):
+        """Same batch, same seed: DP-8 step must equal single-device step."""
+        from fvta_memexqa_tpu.data import Dataset, SharedTables
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.models import FVTAModel
+        from fvta_memexqa_tpu.train import init_state, make_train_step
+
+        from fvta_memexqa_tpu.train import loss_and_metrics
+
+        cfg = small_config.replace(mesh=MeshConfig(data_parallel=8))
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(8))))
+        model = FVTAModel(cfg=cfg)
+        state = init_state(cfg, model, shared, batch)
+
+        # NOTE: comparing post-Adam params is ill-conditioned (first Adam step is
+        # sign-like, so reduction-order float noise flips near-zero grads); the
+        # meaningful DP invariant is loss+gradient equality within float tolerance.
+        def grads(sh, b):
+            def loss_fn(p):
+                return loss_and_metrics(model, p, sh, b, jax.random.key(7), False)[0]
+            return jax.jit(jax.grad(loss_fn))(state.params)
+
+        g_single = grads(shared, batch)
+        mesh = make_mesh(cfg.mesh)
+        shared_r = jax.device_put(shared, replicated(mesh))
+        batch_s = shard_batch(mesh, device_put_batch(next(iter(ds.get_batches(8)))))
+        g_dp = grads(shared_r, batch_s)
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_dp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+        # and the jitted, donated train step runs end-to-end on the mesh
+        step = make_train_step(cfg, model)
+        state = jax.device_put(state, replicated(mesh))
+        s_dp, m_dp = step(state, shared_r, batch_s)
+        assert np.isfinite(float(m_dp["loss"]))
+
+
+class TestCPAttention:
+    def make_case(self, n=2, s=4, t=32, j=5, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        h = rng.normal(0, 1, (n, s, t, d)).astype(np.float32)
+        q = rng.normal(0, 1, (n, j, d)).astype(np.float32)
+        t_len = rng.integers(1, t + 1, (n, s))
+        j_len = rng.integers(1, j + 1, n)
+        cm = np.arange(t)[None, None, :] < t_len[..., None]
+        qm = np.arange(j)[None, :] < j_len[:, None]
+        params = {k: jnp.asarray(rng.normal(0, 1, d).astype(np.float32))
+                  for k in ("w_x", "w_y", "w_xy")}
+        return (jnp.asarray(h * cm[..., None]), jnp.asarray(cm),
+                jnp.asarray(q * qm[..., None]), jnp.asarray(qm), params)
+
+    @pytest.mark.parametrize("cp", [2, 4, 8])
+    def test_cp_matches_single_device(self, cp):
+        h, cm, q, qm, params = self.make_case()
+        ref = fvta_attention(h, cm, q, qm,
+                             similarity_tensor(h, q, "trilinear", params))
+        mesh = make_mesh(MeshConfig(data_parallel=8 // cp, context_parallel=cp))
+        cp_attn = make_cp_attention(mesh, "trilinear")
+        h_s, cm_s = shard_context(mesh, h, cm)
+        out = jax.jit(cp_attn)(h_s, cm_s, q, qm, params)
+        np.testing.assert_allclose(np.asarray(out.context), np.asarray(ref.context),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.question), np.asarray(ref.question),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.time_attn), np.asarray(ref.time_attn),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.seq_attn), np.asarray(ref.seq_attn),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_cp_with_dead_shard(self):
+        """An entire device's time shard can be padding; stats must compose."""
+        h, cm, q, qm, params = self.make_case(t=32, seed=3)
+        cm = np.asarray(cm).copy()
+        cm[:, :, 16:] = False  # second half (devices 4..7 at cp=8) all dead
+        cm = jnp.asarray(cm)
+        ref = fvta_attention(h, cm, q, qm,
+                             similarity_tensor(h, q, "trilinear", params))
+        mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=8))
+        cp_attn = make_cp_attention(mesh, "trilinear")
+        h_s, cm_s = shard_context(mesh, h, cm)
+        out = jax.jit(cp_attn)(h_s, cm_s, q, qm, params)
+        np.testing.assert_allclose(np.asarray(out.context), np.asarray(ref.context),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.isfinite(np.asarray(out.context)).all()
+
+    def test_cp_grads_flow(self):
+        h, cm, q, qm, params = self.make_case(seed=5)
+        mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=8))
+        cp_attn = make_cp_attention(mesh, "trilinear")
+        h_s, cm_s = shard_context(mesh, h, cm)
+
+        def loss(h_, p_):
+            o = cp_attn(h_, cm_s, q, qm, p_)
+            return (o.context ** 2).sum() + (o.question ** 2).sum()
+
+        def loss_ref(h_, p_):
+            o = fvta_attention(h_, cm, q, qm, similarity_tensor(h_, q, "trilinear", p_))
+            return (o.context ** 2).sum() + (o.question ** 2).sum()
+
+        g_cp = jax.jit(jax.grad(loss, argnums=(0, 1)))(h_s, params)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(h, params)
+        for a, b in zip(jax.tree.leaves(g_cp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
