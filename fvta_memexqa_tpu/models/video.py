@@ -1,0 +1,242 @@
+"""TGIF-QA-style video QA: FVTA over long frame-feature sequences.
+
+BASELINE.json config 4: "TGIF-QA-style video QA: FVTA over frame-feature sequences
+(long-sequence temporal attention path)". The FVTA paper generalizes focal attention
+to video QA (SURVEY.md section 6); the real TGIF-QA assets are not in the sandbox, so
+this path is provable on synthetic frame features and pluggable for real ones.
+
+TPU-first design decisions (documented per SURVEY.md section 5):
+- Context = a single frame sequence → S=1 and the hierarchical focal softmax
+  degenerates to its time level; the same attention code paths (ref / fused Pallas /
+  context-parallel) are reused unchanged.
+- Temporal encoder choices: "bilstm" (paper-faithful; sequential, single-device) or
+  "dilated_conv" (stack of dilated temporal convs — parallel over T, so the encoder
+  itself shards over the ctx axis; the TPU-native choice for T in the thousands).
+- Long T: attention via parallel/cp.py over the ("ctx") mesh axis; HBM traffic is
+  linear in T on every path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from fvta_memexqa_tpu.config import Config
+from fvta_memexqa_tpu.data.device_prepro import SharedTables
+from fvta_memexqa_tpu.models.embed import CharCNN, Highway, WordEmbed
+from fvta_memexqa_tpu.models.fvta import BiLSTM
+from fvta_memexqa_tpu.ops.fvta_ref import ATTENTION_VARIANTS, AttentionOutput, similarity_tensor
+
+
+@flax.struct.dataclass
+class VideoInputs:
+    frame_feats: jnp.ndarray   # f32 [N, T, F]
+    frame_mask: jnp.ndarray    # bool [N, T]
+    q_words: jnp.ndarray       # i32 [N, Jq]
+    q_chars: jnp.ndarray       # i32 [N, Jq, W]
+    q_mask: jnp.ndarray        # bool [N, Jq]
+    choice_words: jnp.ndarray  # i32 [N, C, Ja]
+    choice_chars: jnp.ndarray  # i32 [N, C, Ja, W]
+    choice_mask: jnp.ndarray   # bool [N, C, Ja]
+    label: jnp.ndarray         # i32 [N]
+    ex_mask: jnp.ndarray       # bool [N]
+
+
+class VideoOutput(NamedTuple):
+    logits: jnp.ndarray        # [N, C]
+    attention: AttentionOutput
+
+
+class DilatedConvEncoder(nn.Module):
+    """Parallel-over-T temporal encoder: stacked dilated convs with residuals.
+    Receptive field grows exponentially; output dim 2H to match the bi-LSTM."""
+
+    hidden_dim: int
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        h2 = 2 * self.hidden_dim
+        m = mask[..., None].astype(x.dtype)
+        x = nn.Dense(h2, name="in_proj")(x) * m
+        for li in range(self.num_layers):
+            y = nn.Conv(h2, kernel_size=(3,), kernel_dilation=(2 ** li),
+                        padding="SAME", name=f"conv{li}")(x * m)
+            x = x + nn.gelu(y) * m
+        fin = jnp.sum(x * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        return x * m, fin
+
+
+class VideoFVTAModel(nn.Module):
+    """Question + C-way choices vs a frame sequence, scored FVTA-style."""
+
+    cfg: Config
+    num_choices: int = 5       # TGIF-QA multiple-choice tasks are 5-way
+    temporal_encoder: str = "dilated_conv"  # dilated_conv | bilstm
+
+    def setup(self):
+        d, m = self.cfg.data, self.cfg.model
+        self.word_embed = WordEmbed(
+            num_glove=d.num_glove_words, vocab_size=d.word_vocab_size, dim=d.word_emb_dim
+        )
+        self.char_cnn = CharCNN(
+            char_vocab_size=max(d.char_vocab_size, 4), emb_dim=m.char_emb_dim,
+            num_filters=m.char_cnn_filters, width=m.char_cnn_width,
+        )
+        self.highway = Highway(num_layers=2)
+        self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
+        self.enc_word = BiLSTM(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias,
+                               use_pallas=m.use_pallas, name="enc_word")
+        if self.temporal_encoder == "bilstm":
+            self.frame_proj = nn.Dense(d.word_emb_dim + m.char_cnn_filters,
+                                       name="frame_proj")
+            self.enc_frames = BiLSTM(hidden_dim=m.hidden_dim,
+                                     forget_bias=m.forget_bias,
+                                     use_pallas=m.use_pallas, name="enc_frames")
+        else:
+            self.enc_frames = DilatedConvEncoder(hidden_dim=m.hidden_dim,
+                                                 name="enc_frames")
+        if m.similarity == "trilinear":
+            h2 = 2 * m.hidden_dim
+            self.w_x = self.param("sim_w_x", nn.initializers.normal(0.1), (h2,))
+            self.w_y = self.param("sim_w_y", nn.initializers.normal(0.1), (h2,))
+            self.w_xy = self.param("sim_w_xy", nn.initializers.normal(0.1), (h2,))
+        self.scorer = nn.Dense(1, name="scorer")
+
+    def _embed_text(self, shared, words, chars, train):
+        m = self.cfg.model
+        if m.vocab_embed:
+            w = self.word_embed.full_table(shared.word_emb)
+            c = self.char_cnn(shared.vocab_chars)
+            table = self.highway(jnp.concatenate([w, c], axis=-1))
+            x = table[words]
+        else:
+            w = self.word_embed(words, shared.word_emb)
+            c = self.char_cnn(chars)
+            x = self.highway(jnp.concatenate([w, c], axis=-1))
+        return self.dropout(x, deterministic=not train)
+
+    def encode_frames(self, vi: VideoInputs, train: bool = False):
+        """Frame sequence → context states [N, 1, T, 2H] + mask (S=1)."""
+        if self.temporal_encoder == "bilstm":
+            x = self.frame_proj(vi.frame_feats)
+            x = self.dropout(x, deterministic=not train)
+            out, _ = self.enc_frames(x, vi.frame_mask)
+        else:
+            out, _ = self.enc_frames(vi.frame_feats, vi.frame_mask)
+        return out[:, None], vi.frame_mask[:, None]
+
+    def answer(self, shared: SharedTables, vi: VideoInputs, h_ctx, ctx_mask,
+               train: bool = False, cp_attention=None) -> VideoOutput:
+        m = self.cfg.model
+        q_emb = self._embed_text(shared, vi.q_words, vi.q_chars, train)
+        h_q, _ = self.enc_word(q_emb, vi.q_mask)
+        a_emb = self._embed_text(shared, vi.choice_words, vi.choice_chars, train)
+        n, c_num = a_emb.shape[:2]
+        a_flat, a_fin = self.enc_word(
+            a_emb.reshape((n * c_num,) + a_emb.shape[2:]),
+            vi.choice_mask.reshape(n * c_num, -1),
+        )
+        a_sum = a_fin.reshape(n, c_num, -1)
+
+        sim_params = {}
+        if m.similarity == "trilinear":
+            sim_params = {"w_x": self.w_x, "w_y": self.w_y, "w_xy": self.w_xy}
+        if cp_attention is not None:
+            attn = cp_attention(h_ctx, ctx_mask, h_q, vi.q_mask, sim_params)
+        elif m.use_pallas and m.attention == "fvta":
+            from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
+
+            attn = fvta_attention_pallas(h_ctx, ctx_mask, h_q, vi.q_mask,
+                                         m.similarity, sim_params)
+        else:
+            corr = similarity_tensor(h_ctx, h_q, m.similarity, sim_params)
+            attn = ATTENTION_VARIANTS[m.attention](h_ctx, ctx_mask, h_q, vi.q_mask, corr)
+
+        ctx = attn.context[:, None, :]
+        qv = attn.question[:, None, :]
+        feats = jnp.concatenate(
+            [jnp.broadcast_to(ctx, a_sum.shape), jnp.broadcast_to(qv, a_sum.shape),
+             a_sum, ctx * a_sum, qv * a_sum], axis=-1)
+        logits = self.scorer(feats)[..., 0]
+        return VideoOutput(logits=logits, attention=attn)
+
+    def __call__(self, shared: SharedTables, vi: VideoInputs,
+                 train: bool = False, cp_attention=None) -> VideoOutput:
+        h_ctx, ctx_mask = self.encode_frames(vi, train)
+        return self.answer(shared, vi, h_ctx, ctx_mask, train, cp_attention)
+
+
+def video_loss(model: VideoFVTAModel, params, shared, vi: VideoInputs, rng, train):
+    rngs = {"dropout": rng} if train else None
+    out = model.apply(params, shared, vi, train=train, rngs=rngs)
+    logp = jax.nn.log_softmax(out.logits)
+    nll = -jnp.take_along_axis(logp, vi.label[:, None], axis=1)[:, 0]
+    w = vi.ex_mask.astype(logp.dtype)
+    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    acc = (((jnp.argmax(out.logits, -1) == vi.label) * w).sum()
+           / jnp.maximum(w.sum(), 1.0))
+    return loss, {"acc": acc}
+
+
+def make_synthetic_video(cfg: Config, num_videos: int = 32, num_frames: int = 64,
+                         num_choices: int = 5, seed: int = 0):
+    """Deterministic synthetic video QA: each video contains a dominant 'event'
+    feature direction in a contiguous frame span; the question asks which event
+    occurred; distractor choices name absent events. Returns (VideoInputs, vocab_words)
+    sized to cfg.data's text shapes, with frame_feats [N, T, image_feat_dim]."""
+    import numpy as np
+
+    d = cfg.data
+    rng = np.random.default_rng(seed)
+    events = ["jump", "spin", "wave", "fall", "clap", "run", "nod", "point"]
+    dirs = {e: rng.normal(0, 1, d.image_feat_dim).astype(np.float32) for e in events}
+    n = num_videos
+    feats = 0.1 * rng.normal(0, 1, (n, num_frames, d.image_feat_dim)).astype(np.float32)
+    labels = np.zeros(n, np.int32)
+    # word ids: build a tiny fixed vocab mapping for the question/choice words
+    words = ["what", "did", "the", "person", "do", "?"] + events
+    w2i = {w: i + 2 for i, w in enumerate(words)}
+
+    q_words = np.zeros((n, d.max_question_len), np.int32)
+    q_mask = np.zeros((n, d.max_question_len), bool)
+    c_words = np.zeros((n, num_choices, d.max_answer_len), np.int32)
+    c_mask = np.zeros((n, num_choices, d.max_answer_len), bool)
+    for i in range(n):
+        ev_idx = int(rng.integers(len(events)))
+        ev = events[ev_idx]
+        start = int(rng.integers(0, num_frames // 2))
+        span = int(rng.integers(4, num_frames // 2))
+        feats[i, start : start + span] += dirs[ev]
+        q = ["what", "did", "the", "person", "do", "?"]
+        for j, w in enumerate(q[: d.max_question_len]):
+            q_words[i, j] = w2i[w]
+            q_mask[i, j] = True
+        others = [e for e in events if e != ev]
+        pick = list(rng.choice(len(others), num_choices - 1, replace=False))
+        choices = [ev] + [others[int(p)] for p in pick]
+        order = rng.permutation(num_choices)
+        for ci, oi in enumerate(order):
+            c_words[i, ci, 0] = w2i[choices[int(oi)]]
+            c_mask[i, ci, 0] = True
+            if int(oi) == 0:
+                labels[i] = ci
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6
+    vi = VideoInputs(
+        frame_feats=jnp.asarray(feats),
+        frame_mask=jnp.ones((n, num_frames), bool),
+        q_words=jnp.asarray(q_words),
+        q_chars=jnp.zeros((n, d.max_question_len, d.max_word_len), jnp.int32),
+        q_mask=jnp.asarray(q_mask),
+        choice_words=jnp.asarray(c_words),
+        choice_chars=jnp.zeros((n, num_choices, d.max_answer_len, d.max_word_len),
+                               jnp.int32),
+        choice_mask=jnp.asarray(c_mask),
+        label=jnp.asarray(labels),
+        ex_mask=jnp.ones(n, bool),
+    )
+    return vi, words

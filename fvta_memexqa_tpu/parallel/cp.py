@@ -119,7 +119,10 @@ def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
 def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx"):
     """shard_map-wrapped CP attention: h/cm sharded on the time axis over
     `axis_name`, everything else replicated. Call like the reference attention."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.7 canonical location
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     def fn(h, cm, q, qm, sim_params):
         return fvta_attention_cp(h, cm, q, qm, similarity, sim_params, axis_name)
@@ -133,7 +136,7 @@ def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx"):
             context=P(), question=P(),
             time_attn=P(None, None, axis_name), seq_attn=P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
 

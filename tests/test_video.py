@@ -1,0 +1,109 @@
+"""Video QA path (TGIF-style): forward shapes, overfit on synthetic events,
+temporal encoder variants, CP attention integration over the ctx mesh axis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fvta_memexqa_tpu.config import Config, DataConfig, MeshConfig, ModelConfig
+from fvta_memexqa_tpu.models.video import (
+    VideoFVTAModel,
+    make_synthetic_video,
+    video_loss,
+)
+from fvta_memexqa_tpu.parallel.cp import make_cp_attention
+from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+
+def video_config() -> Config:
+    return Config(
+        data=DataConfig(
+            max_albums=1, max_photos=1, max_question_len=8, max_answer_len=3,
+            max_sent_len=3, max_album_text_len=3, max_word_len=6, image_feat_dim=32,
+            word_emb_dim=16, word_vocab_size=32, char_vocab_size=16, num_glove_words=0,
+        ),
+        model=ModelConfig(hidden_dim=12, char_emb_dim=4, char_cnn_filters=8,
+                          keep_prob=1.0, vocab_embed=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def video_setup():
+    cfg = video_config()
+    vi, _ = make_synthetic_video(cfg, num_videos=16, num_frames=32, seed=0)
+    from fvta_memexqa_tpu.data.device_prepro import SharedTables
+
+    d = cfg.data
+    rng = np.random.default_rng(1)
+    shared = SharedTables(
+        word_emb=jnp.asarray(rng.normal(0, 0.3, (d.word_vocab_size, d.word_emb_dim))
+                             .astype(np.float32)),
+        vocab_chars=jnp.zeros((d.word_vocab_size, d.max_word_len), jnp.int32),
+        photo_feats=jnp.zeros((1, d.image_feat_dim)),
+        album_photo_idx=jnp.zeros((1, 1), jnp.int32),
+        album_photo_mask=jnp.zeros((1, 1), bool),
+        photo_title_words=jnp.zeros((1, 1, 1), jnp.int32),
+        photo_title_chars=jnp.zeros((1, 1, 1, 1), jnp.int32),
+        photo_title_mask=jnp.zeros((1, 1, 1), bool),
+        album_text_words=jnp.zeros((1, 4, 1), jnp.int32),
+        album_text_chars=jnp.zeros((1, 4, 1, 1), jnp.int32),
+        album_text_mask=jnp.zeros((1, 4, 1), bool),
+    )
+    return cfg, vi, shared
+
+
+class TestVideoForward:
+    @pytest.mark.parametrize("enc", ["dilated_conv", "bilstm"])
+    def test_forward_shapes(self, video_setup, enc):
+        cfg, vi, shared = video_setup
+        model = VideoFVTAModel(cfg=cfg, num_choices=5, temporal_encoder=enc)
+        params = model.init(jax.random.key(0), shared, vi, train=False)
+        out = model.apply(params, shared, vi, train=False)
+        assert out.logits.shape == (16, 5)
+        assert out.attention.time_attn.shape == (16, 1, 32)
+        assert np.isfinite(np.asarray(out.logits)).all()
+
+    def test_overfit_synthetic_events(self, video_setup):
+        """The event is visible in the frame features; the model must learn it."""
+        cfg, vi, shared = video_setup
+        model = VideoFVTAModel(cfg=cfg, num_choices=5)
+        params = model.init(jax.random.key(0), shared, vi, train=False)
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            (l, aux), g = jax.value_and_grad(
+                lambda pp: video_loss(model, pp, shared, vi, None, False),
+                has_aux=True)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s, l, aux["acc"]
+
+        acc = 0.0
+        for i in range(150):
+            params, opt_state, loss, acc = step(params, opt_state)
+        assert float(acc) == 1.0, f"video overfit failed: acc={float(acc)}"
+
+    def test_cp_attention_integration(self, video_setup):
+        """Full video forward with the attention sharded over the ctx axis."""
+        cfg, vi, shared = video_setup
+        model = VideoFVTAModel(cfg=cfg, num_choices=5)
+        params = model.init(jax.random.key(0), shared, vi, train=False)
+        ref = model.apply(params, shared, vi, train=False)
+
+        mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=8))
+        cp_attn = make_cp_attention(mesh, cfg.model.similarity)
+        out = model.apply(params, shared, vi, train=False, cp_attention=cp_attn)
+        np.testing.assert_allclose(np.asarray(out.logits), np.asarray(ref.logits),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_long_sequence_runs(self, video_setup):
+        cfg, _, shared = video_setup
+        vi, _ = make_synthetic_video(cfg, num_videos=2, num_frames=1024, seed=2)
+        model = VideoFVTAModel(cfg=cfg, num_choices=5)
+        params = model.init(jax.random.key(0), shared, vi, train=False)
+        out = model.apply(params, shared, vi, train=False)
+        assert out.logits.shape == (2, 5)
+        assert np.isfinite(np.asarray(out.logits)).all()
