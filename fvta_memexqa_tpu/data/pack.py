@@ -77,6 +77,37 @@ def _encode_text(
     return words, chars, mask
 
 
+class BatchEncoder:
+    """Encode many raw texts → fixed-shape id tensors in one pass.
+
+    Uses the native C++ tokenize+lookup (native/tokenizer.cc) for ASCII texts —
+    the packer hot loop (reference prepro.py's bottleneck, SURVEY.md section 3.1)
+    never materializes Python token strings — and falls back to the Python path
+    per-text otherwise. Output is bit-identical either way (parity-tested).
+    """
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+        from fvta_memexqa_tpu.data.tokenize import try_load_native
+
+        native = try_load_native()
+        self._enc = (native.NativeEncoder(vocab.word2idx, vocab.char2idx)
+                     if native else None)
+
+    def encode(self, texts: list[str], max_len: int, max_word_len: int):
+        """→ (words i32 [N, L], chars i32 [N, L, W], mask bool [N, L])."""
+        n = len(texts)
+        if self._enc is not None and all(t.isascii() for t in texts):
+            return self._enc.encode_batch(texts, max_len, max_word_len)
+        words = np.zeros((n, max_len), dtype=np.int32)
+        chars = np.zeros((n, max_len, max_word_len), dtype=np.int32)
+        mask = np.zeros((n, max_len), dtype=bool)
+        for i, t in enumerate(texts):
+            words[i], chars[i], mask[i] = _encode_text(
+                tokenize(t), self.vocab, max_len, max_word_len)
+        return words, chars, mask
+
+
 def _album_text(album: Album, field: str) -> str:
     if field == "album_title":
         return album.title
@@ -189,25 +220,28 @@ def pack(
         if f.shape[0] != feat_dim:
             raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {feat_dim}")
         sh.photo_feats[row] = f
+    enc = BatchEncoder(vocab)
+    title_texts = ["" for _ in range(n_alb * cfg.max_photos)]
     for aid, row in album_row.items():
         a = albums[aid]
         for p, pid in enumerate(a.photo_ids[: cfg.max_photos]):
             if pid in photo_row:
                 sh.album_photo_idx[row, p] = photo_row[pid]
                 sh.album_photo_mask[row, p] = True
-            w, ch, m = _encode_text(
-                tokenize(a.photo_titles[p]), vocab, cfg.max_sent_len, cfg.max_word_len
-            )
-            sh.photo_title_words[row, p] = w
-            sh.photo_title_chars[row, p] = ch
-            sh.photo_title_mask[row, p] = m
-        for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
-            w, ch, m = _encode_text(
-                tokenize(_album_text(a, fname)), vocab, cfg.max_album_text_len, cfg.max_word_len
-            )
-            sh.album_text_words[row, fi] = w
-            sh.album_text_chars[row, fi] = ch
-            sh.album_text_mask[row, fi] = m
+            title_texts[row * cfg.max_photos + p] = a.photo_titles[p]
+    w, ch, m = enc.encode(title_texts, cfg.max_sent_len, cfg.max_word_len)
+    sh.photo_title_words[:] = w.reshape(sh.photo_title_words.shape)
+    sh.photo_title_chars[:] = ch.reshape(sh.photo_title_chars.shape)
+    sh.photo_title_mask[:] = m.reshape(sh.photo_title_mask.shape)
+
+    for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
+        field_texts = ["" for _ in range(n_alb)]
+        for aid, row in album_row.items():
+            field_texts[row] = _album_text(albums[aid], fname)
+        w, ch, m = enc.encode(field_texts, cfg.max_album_text_len, cfg.max_word_len)
+        sh.album_text_words[:, fi] = w
+        sh.album_text_chars[:, fi] = ch
+        sh.album_text_mask[:, fi] = m
 
     # ---- per-split records ---------------------------------------------------
     split_arrays: dict[str, dict[str, np.ndarray]] = {}
@@ -225,18 +259,15 @@ def pack(
             "label": np.zeros(n, dtype=np.int32),
             "qid": np.asarray([q.question_id for q in split_qas_list], dtype="U64"),
         }
+        qw, qc, qm = enc.encode([qa.question for qa in split_qas_list],
+                                cfg.max_question_len, cfg.max_word_len)
+        arr["q_words"], arr["q_chars"], arr["q_mask"] = qw, qc, qm
+        cw, cc, cm = enc.encode([c for qa in split_qas_list for c in qa.choices],
+                                cfg.max_answer_len, cfg.max_word_len)
+        arr["choice_words"] = cw.reshape(n, 4, cfg.max_answer_len)
+        arr["choice_chars"] = cc.reshape(n, 4, cfg.max_answer_len, cfg.max_word_len)
+        arr["choice_mask"] = cm.reshape(n, 4, cfg.max_answer_len)
         for i, qa in enumerate(split_qas_list):
-            w, ch, m = _encode_text(
-                tokenize(qa.question), vocab, cfg.max_question_len, cfg.max_word_len
-            )
-            arr["q_words"][i], arr["q_chars"][i], arr["q_mask"][i] = w, ch, m
-            for c_i, choice in enumerate(qa.choices):
-                w, ch, m = _encode_text(
-                    tokenize(choice), vocab, cfg.max_answer_len, cfg.max_word_len
-                )
-                arr["choice_words"][i, c_i] = w
-                arr["choice_chars"][i, c_i] = ch
-                arr["choice_mask"][i, c_i] = m
             for a_i, aid in enumerate(qa.album_ids[: cfg.max_albums]):
                 if aid in album_row:
                     arr["album_idx"][i, a_i] = album_row[aid]

@@ -31,17 +31,45 @@ def tokenize(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
+def tokenize_many(texts: list[str]) -> list[list[str]]:
+    """Batch tokenization; routes ASCII documents through the native C++ scanner
+    (one FFI call for the whole batch) and everything else through the regex spec.
+    Results are bit-identical to [tokenize(t) for t in texts]."""
+    native = try_load_native()
+    if native is None:
+        return [tokenize(t) for t in texts]
+    ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+    out: list[list[str]] = [None] * len(texts)  # type: ignore[list-item]
+    if ascii_idx:
+        for i, toks in zip(ascii_idx, native.tokenize_batch([texts[i] for i in ascii_idx])):
+            out[i] = toks
+    for i, t in enumerate(texts):
+        if out[i] is None:
+            out[i] = tokenize(t)
+    return out
+
+
 def word_to_char_ids(word: str, char2idx: dict[str, int], max_word_len: int) -> list[int]:
     """Char ids for one token, padded/truncated to max_word_len."""
     ids = [char2idx.get(c, UNK_ID) for c in word[:max_word_len]]
     return ids + [PAD_ID] * (max_word_len - len(ids))
 
 
-def try_load_native() -> "object | None":
-    """Load the C++ tokenizer extension if built; None otherwise."""
-    try:
-        from fvta_memexqa_tpu.data import _native_tokenizer
+_NATIVE_CACHE: list = []  # [module_or_None], memoized
 
-        return _native_tokenizer
-    except Exception:
+
+def try_load_native() -> "object | None":
+    """Load (building if needed) the C++ tokenizer extension; None if unavailable
+    or disabled via FVTA_NO_NATIVE=1 (used by parity tests)."""
+    import os
+
+    if os.environ.get("FVTA_NO_NATIVE"):
         return None
+    if not _NATIVE_CACHE:
+        try:
+            from fvta_memexqa_tpu.data import _native_tokenizer
+
+            _NATIVE_CACHE.append(_native_tokenizer)
+        except Exception:
+            _NATIVE_CACHE.append(None)
+    return _NATIVE_CACHE[0]
