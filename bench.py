@@ -53,6 +53,12 @@ def main():
     best = max(results, key=lambda r: r.qa_pairs_per_sec)
     b8 = next(r for r in results if r.batch_size == 8)
 
+    from fvta_memexqa_tpu.bench_lib import bench_cached_inference
+
+    cached_qps, cache_s = bench_cached_inference(cfg, batch_size=64)
+    print(f"cached-album inference: {cached_qps:.1f} qa/s "
+          f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
+
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -72,6 +78,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "batch_size": best.batch_size,
         "p50_latency_ms_b8": round(b8.p50_latency_ms, 3),
+        "cached_qa_pairs_per_sec": round(cached_qps, 2),
         "platform": platform,
         "pallas": cfg.model.use_pallas,
     }))

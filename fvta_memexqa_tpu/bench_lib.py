@@ -153,6 +153,71 @@ def _timed_loop_fn(model: FVTAModel):
     return fwd_loop
 
 
+def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
+                           k_large: int = 250, reps: int = 3, seed: int = 0):
+    """Test-set inference throughput through the album-encoding cache
+    (eval_cache.py): the TPU-native restructuring of BASELINE.json config 1 —
+    identical logits to the full forward, context encoders amortized across the
+    questions sharing albums. Returns (qa_pairs_per_sec, cache_seconds)."""
+    import time
+    from functools import partial
+
+    from fvta_memexqa_tpu.eval_cache import precompute_album_cache
+
+    model = FVTAModel(cfg=cfg)
+    shared = synth_shared(cfg, seed=seed)
+    batch = synth_batch(cfg, batch_size, seed=seed + 1)
+
+    @jax.jit
+    def _init(k, sh, b):
+        return model.init(k, sh, assemble(sh, b), train=False)
+
+    params = _init(jax.random.key(0), shared, batch)
+    t0 = time.perf_counter()
+    cache_h, cache_m = precompute_album_cache(cfg, model, params, shared)
+    np.asarray(cache_h[0, 0, 0, 0])  # sync through the tunnel
+    cache_s = time.perf_counter() - t0
+
+    n_mod = cache_h.shape[1]
+
+    @partial(jax.jit, static_argnums=4)
+    def loop(p, sh, b, cache, k):
+        ch, cm = cache
+
+        def body(i, carry):
+            acc, fb = carry
+            b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb,
+                           album_idx=b.album_idx + fb)
+            mi = assemble(sh, b2)
+            n, a = b2.album_idx.shape
+            h = ch[b2.album_idx]
+            m = cm[b2.album_idx] & b2.album_mask[:, :, None, None]
+            t = h.shape[3]
+            out = model.apply(p, sh, mi, h.reshape(n, a * n_mod, t, -1),
+                              m.reshape(n, a * n_mod, t), train=False,
+                              method=model.answer)
+            s = out.logits.sum()
+            return acc + s, jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.int32(0)))[0]
+
+    cache = (cache_h, cache_m)
+    np.asarray(loop(params, shared, batch, cache, k_small))
+    np.asarray(loop(params, shared, batch, cache, k_large))
+    slopes = []
+    for _ in range(reps):
+        np.asarray(loop(params, shared, batch, cache, k_small))
+        t0 = time.perf_counter()
+        np.asarray(loop(params, shared, batch, cache, k_small))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(loop(params, shared, batch, cache, k_large))
+        d2 = time.perf_counter() - t0
+        slopes.append((d2 - d1) / (k_large - k_small))
+    per = sorted(slopes)[len(slopes) // 2]
+    return batch_size / per, cache_s
+
+
 def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
                     k_large: int = 250, reps: int = 3, seed: int = 0) -> list[BenchResult]:
     model = FVTAModel(cfg=cfg)

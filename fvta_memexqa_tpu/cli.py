@@ -105,6 +105,8 @@ def cmd_train(argv):
     p = _train_test_parser("fvta train")
     p.add_argument("--num-steps", type=int, default=None,
                    help="stop after N optimizer steps (overrides epochs)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-15 into rundir/profile")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.data import load_pack
     from fvta_memexqa_tpu.train import train
@@ -113,8 +115,37 @@ def cmd_train(argv):
     cfg = _config_from_args(args).replace(data=packed.cfg)
     os.makedirs(args.rundir, exist_ok=True)
     res = train(cfg, packed, args.rundir, num_steps=args.num_steps,
-                metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
+                metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
+                profile_dir=os.path.join(args.rundir, "profile") if args.profile else None)
     print(json.dumps({"best_val_acc": res["best_val_acc"], "steps": res["steps"]}))
+
+
+def cmd_ablate(argv):
+    """BASELINE.json config 3: FVTA vs flat soft-attention vs no-attention sweep."""
+    p = _train_test_parser("fvta ablate")
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--variants", default="fvta,flat,none")
+    args = p.parse_args(argv)
+    import dataclasses as _dc
+
+    from fvta_memexqa_tpu.data import load_pack
+    from fvta_memexqa_tpu.train import test as run_test, train as run_train
+
+    packed = load_pack(args.packdir)
+    base = _config_from_args(args).replace(data=packed.cfg)
+    results = {}
+    for variant in args.variants.split(","):
+        cfg = base.replace(model=_dc.replace(base.model, attention=variant))
+        rundir = os.path.join(args.rundir, variant)
+        os.makedirs(rundir, exist_ok=True)
+        res = run_train(cfg, packed, rundir, num_steps=args.num_steps,
+                        metrics_path=os.path.join(rundir, "metrics.jsonl"), echo=False)
+        m = run_test(cfg, packed, rundir, load_best=True, echo=False)
+        results[variant] = {"val_acc": res["best_val_acc"], "test_acc": m["acc"],
+                            "steps": res["steps"]}
+        print(f"[ablate] {variant}: val={res['best_val_acc']:.4f} "
+              f"test={m['acc']:.4f}", file=sys.stderr)
+    print(json.dumps(results))
 
 
 def cmd_test(argv):
@@ -122,6 +153,8 @@ def cmd_test(argv):
     p.add_argument("--load-latest", action="store_true",
                    help="use latest instead of best-on-val checkpoint")
     p.add_argument("--split", default="test")
+    p.add_argument("--no-album-cache", action="store_true",
+                   help="disable album-encoding dedup (reference-shaped eval)")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data import load_pack
@@ -131,7 +164,8 @@ def cmd_test(argv):
     saved = load_config(os.path.join(args.rundir, "config.json"))
     cfg = _config_from_args(args, base=saved).replace(data=packed.cfg)
     m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
-             metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
+             metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
+             album_cache=not args.no_album_cache)
     print(json.dumps({"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
                       "count": m["count"]}))
 
@@ -166,6 +200,7 @@ COMMANDS = {
     "prepro": cmd_prepro,
     "train": cmd_train,
     "test": cmd_test,
+    "ablate": cmd_ablate,
     "serve": cmd_serve,
     "synth": cmd_synth,
 }

@@ -1,0 +1,123 @@
+"""Cached-album evaluation: dedupe context encoding across questions.
+
+MemexQA v1.1 has ~20k questions over only 630 albums (SURVEY.md "What the reference
+is"); the reference re-encodes every album for every question that references it
+(SURVEY.md section 3.3). TPU-native restructuring: run encode_context ONCE per album
+over the dedup shared tables, keep the [num_albums, 6, T, 2H] states HBM-resident,
+and let the eval step gather per-question context from the cache — identical logits
+(parity-tested), with per-question work reduced to question/choice encode + attention
++ scorer. This is the same dedup the serving path (serve.py AlbumStore) does online,
+here done offline for split evaluation; `cli test` uses it by default
+(--no-album-cache restores the reference-shaped full re-encode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvta_memexqa_tpu.config import Config, MODALITIES
+from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables, assemble
+from fvta_memexqa_tpu.data.pipeline import Batch
+from fvta_memexqa_tpu.models.fvta import FVTAModel
+
+
+def _album_only_batch(cfg: Config, rows: np.ndarray) -> Batch:
+    """A Batch whose examples are single albums (query fields zeroed)."""
+    d = cfg.data
+    n = len(rows)
+    z = np.zeros
+    album_idx = z((n, 1), np.int32)
+    album_idx[:, 0] = rows
+    return Batch(
+        q_words=z((n, d.max_question_len), np.int32),
+        q_chars=z((n, d.max_question_len, d.max_word_len), np.int32),
+        q_mask=z((n, d.max_question_len), bool),
+        choice_words=z((n, 4, d.max_answer_len), np.int32),
+        choice_chars=z((n, 4, d.max_answer_len, d.max_word_len), np.int32),
+        choice_mask=z((n, 4, d.max_answer_len), bool),
+        album_idx=album_idx,
+        album_mask=(album_idx > 0),
+        label=z(n, np.int32),
+        ex_mask=np.ones(n, bool),
+    )
+
+
+def precompute_album_cache(cfg: Config, model: FVTAModel, params,
+                           shared: SharedTables, batch_size: int = 64):
+    """Encode every album row once → (h [R, 6, T, 2H], mask [R, 6, T]) on device.
+    Row 0 is the pad album (all-masked)."""
+    a1_cfg = cfg.replace(data=cfg.data.__class__(
+        **{**cfg.data.__dict__, "max_albums": 1}))
+    a1_model = FVTAModel(cfg=a1_cfg)
+
+    @jax.jit
+    def encode(p, sh, b):
+        mi = assemble(sh, b)
+        return a1_model.apply(p, sh, mi, train=False, method=a1_model.encode_context)
+
+    num_rows = int(shared.album_photo_idx.shape[0])
+    hs, ms = [], []
+    for start in range(0, num_rows, batch_size):
+        rows = np.arange(start, min(start + batch_size, num_rows))
+        pad = batch_size - len(rows)
+        rows_p = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
+        b = jax.tree.map(jnp.asarray, _album_only_batch(a1_cfg, rows_p))
+        h, m = encode(params, shared, b)
+        hs.append(h[: len(rows)])
+        ms.append(m[: len(rows)])
+    return jnp.concatenate(hs), jnp.concatenate(ms)
+
+
+def make_cached_eval_step(cfg: Config, model: FVTAModel):
+    """Eval step consuming the album cache: gathers per-question context states."""
+    n_mod = len(MODALITIES)
+
+    def eval_step(params, shared: SharedTables, cache_h, cache_m, batch: Batch):
+        mi = assemble(shared, batch)  # query-side fields; album fields unused below
+        n, a = batch.album_idx.shape
+        h = cache_h[batch.album_idx]                 # [N, A, 6, T, 2H]
+        m = cache_m[batch.album_idx] & batch.album_mask[:, :, None, None]
+        t = h.shape[3]
+        h_ctx = h.reshape(n, a * n_mod, t, -1)
+        ctx_mask = m.reshape(n, a * n_mod, t)
+        out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
+                          method=model.answer)
+        logp = jax.nn.log_softmax(out.logits)
+        nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
+        w = mi.ex_mask.astype(logp.dtype)
+        correct = ((jnp.argmax(out.logits, -1) == mi.label).astype(logp.dtype) * w).sum()
+        return {"correct": correct, "count": w.sum(), "loss_sum": (nll * w).sum()}
+
+    return jax.jit(eval_step)
+
+
+def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
+                    dataset, batch_size: int, cache=None) -> dict:
+    """Full-split evaluation through the album cache. Returns reference-compatible
+    {"acc", "loss", "count"} plus cache timing."""
+    import time
+
+    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+
+    t0 = time.perf_counter()
+    if cache is None:
+        cache_h, cache_m = precompute_album_cache(cfg, model, params, shared)
+    else:
+        cache_h, cache_m = cache
+    jax.block_until_ready(cache_h)
+    cache_s = time.perf_counter() - t0
+    step = make_cached_eval_step(cfg, model)
+    tot_correct = tot_count = tot_loss = 0.0
+    for batch in dataset.get_batches(batch_size, shuffle=False):
+        m = step(params, shared, cache_h, cache_m, device_put_batch(batch))
+        tot_correct += float(m["correct"])
+        tot_count += float(m["count"])
+        tot_loss += float(m["loss_sum"])
+    return {
+        "acc": tot_correct / max(tot_count, 1.0),
+        "loss": tot_loss / max(tot_count, 1.0),
+        "count": int(tot_count),
+        "cache_s": cache_s,
+    }

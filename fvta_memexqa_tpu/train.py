@@ -133,7 +133,8 @@ def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
 
 
 def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
-          metrics_path: str | None = None, echo: bool = True) -> dict:
+          metrics_path: str | None = None, echo: bool = True,
+          profile_dir: str | None = None) -> dict:
     """Full training: epochs over train split, periodic val, keep-best checkpoints.
 
     Returns {"best_val_acc", "steps", "state"} for programmatic use (tests/serving).
@@ -155,9 +156,16 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
 
     ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
     start_epoch = 0
+    skip_batches = 0
+    nb = max(train_ds.num_batches(cfg.train.batch_size), 1)
     if ckpt.latest_step() is not None:
-        state = ckpt.restore(jax.tree.map(lambda x: x, state))
-        start_epoch = int(state.step) // max(train_ds.num_batches(cfg.train.batch_size), 1)
+        state = ckpt.restore(state)
+        # Exact resume (SURVEY.md section 5 "Failure detection"): the data order is
+        # deterministic given (seed, epoch), so position = step mod batches-per-epoch
+        # resumes the SAME stream — a killed run continues bit-identically (tested by
+        # the fault-injection test).
+        start_epoch = int(state.step) // nb
+        skip_batches = int(state.step) % nb
 
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)
@@ -170,14 +178,23 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     for epoch in range(start_epoch, t.num_epochs):
         if done:
             break
-        for batch in train_ds.get_batches(t.batch_size, shuffle=True, seed=t.seed,
-                                          epoch=epoch):
+        for bi, batch in enumerate(train_ds.get_batches(t.batch_size, shuffle=True,
+                                                        seed=t.seed, epoch=epoch)):
+            if epoch == start_epoch and bi < skip_batches:
+                continue  # already consumed before the checkpoint
             batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
+            # Tracing (SURVEY.md section 5): profile steps [10, 15) once, after
+            # compile noise settles; view with tensorboard/perfetto.
+            if profile_dir and int(state.step) == 10:
+                jax.profiler.start_trace(profile_dir)
             timer.start()
             state, m = train_step(state, shared, batch)
             jax.block_until_ready(m["loss"])
             timer.stop()
             step = int(state.step)
+            if profile_dir and step == 15:
+                jax.profiler.stop_trace()
+                log.log("profile", step=step, dir=profile_dir)
             if step % t.log_period == 0:
                 bs = t.batch_size
                 log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
@@ -213,8 +230,14 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
 
 
 def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
-         split: str = "test", metrics_path: str | None = None, echo: bool = True) -> dict:
-    """Reference main.py --is_test: restore (best) checkpoint, report accuracy."""
+         split: str = "test", metrics_path: str | None = None, echo: bool = True,
+         album_cache: bool = True) -> dict:
+    """Reference main.py --is_test: restore (best) checkpoint, report accuracy.
+
+    album_cache=True (default) dedupes context encoding across questions via
+    eval_cache.py — identical logits, much faster on album-heavy splits;
+    album_cache=False is the reference-shaped full re-encode per question.
+    """
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
     ds = Dataset(packed, split)
@@ -222,10 +245,16 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     state = init_state(cfg, model, shared, first)
     ckpt = CheckpointManager(out_dir, cfg)
     state = ckpt.restore(state, best=load_best)
-    eval_step = make_eval_step(cfg, model)
     timer = Timer()
     timer.start()
-    m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size)
+    if album_cache:
+        from fvta_memexqa_tpu.eval_cache import evaluate_cached
+
+        m = evaluate_cached(cfg, model, state.params, shared, ds,
+                            cfg.train.eval_batch_size)
+    else:
+        eval_step = make_eval_step(cfg, model)
+        m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size)
     timer.stop()
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],

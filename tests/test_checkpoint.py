@@ -1,0 +1,77 @@
+"""Checkpointing: best-tracking, restore, and the fault-injection exact-resume
+guarantee (SURVEY.md section 5: kill mid-epoch, continuation must be bitwise
+identical to an uninterrupted run)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import Config, ModelConfig, TrainConfig
+from fvta_memexqa_tpu.checkpoint import CheckpointManager
+from fvta_memexqa_tpu.train import train as run_train
+
+
+def cfg_for(packed, num_epochs, val_period=1000, save_period=3):
+    cfg = Config()
+    return cfg.replace(
+        data=packed.cfg,
+        model=ModelConfig(hidden_dim=8, char_emb_dim=4, char_cnn_filters=8,
+                          keep_prob=0.9),
+        train=TrainConfig(batch_size=4, eval_batch_size=4, learning_rate=1e-3,
+                          num_epochs=num_epochs, val_period=val_period,
+                          save_period=save_period, log_period=100, seed=3),
+    )
+
+
+class TestFaultInjection:
+    def test_killed_run_resumes_bit_identically(self, packed_synth, tmp_path):
+        """Uninterrupted 3-epoch run vs (killed after ~1.4 epochs → resumed):
+        final params must match bit for bit. Exercises mid-epoch data-stream
+        positioning, optimizer state, and dropout-RNG restoration together."""
+        straight = str(tmp_path / "straight")
+        killed = str(tmp_path / "killed")
+        cfg3 = cfg_for(packed_synth, num_epochs=3)
+
+        res_a = run_train(cfg3, packed_synth, straight, echo=False)
+
+        # "kill" mid-epoch: train split has ceil(16/4)=4 batches/epoch; stop at
+        # step 6 = epoch 1, batch 2 (save_period=3 guarantees a ckpt at step 6)
+        res_k1 = run_train(cfg3, packed_synth, killed, num_steps=6, echo=False)
+        assert res_k1["steps"] == 6
+        res_k2 = run_train(cfg3, packed_synth, killed, echo=False)
+
+        assert res_k2["steps"] == res_a["steps"]
+        for a, b in zip(jax.tree.leaves(res_a["state"].params),
+                        jax.tree.leaves(res_k2["state"].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state too
+        for a, b in zip(jax.tree.leaves(res_a["state"].opt_state),
+                        jax.tree.leaves(res_k2["state"].opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBestTracking:
+    def test_best_step_tracks_val_acc(self, tmp_path, small_config):
+        mgr = CheckpointManager(str(tmp_path / "ck"), small_config, max_to_keep=5)
+        state = {"w": np.arange(4.0)}
+        mgr.save(1, state, val_acc=0.3)
+        mgr.save(2, {"w": np.arange(4.0) + 1}, val_acc=0.9)
+        mgr.save(3, {"w": np.arange(4.0) + 2}, val_acc=0.5)
+        mgr.wait()
+        assert mgr.best_step() == 2
+        assert mgr.latest_step() == 3
+        restored = mgr.restore(state, best=True)
+        np.testing.assert_array_equal(restored["w"], np.arange(4.0) + 1)
+
+    def test_config_round_trips_with_run_dir(self, tmp_path, small_config):
+        d = str(tmp_path / "ck2")
+        CheckpointManager(d, small_config)
+        again = CheckpointManager(d)
+        assert again.cfg == small_config
+
+    def test_restore_empty_dir_raises(self, tmp_path, small_config):
+        mgr = CheckpointManager(str(tmp_path / "empty"), small_config)
+        with pytest.raises(FileNotFoundError):
+            mgr.restore({"w": np.zeros(2)})
