@@ -214,6 +214,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    if argv and argv[0] in ("train", "test", "ablate"):
+        from fvta_memexqa_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
         print(f"usage: python -m fvta_memexqa_tpu.cli {{{'|'.join(COMMANDS)}}} ...",
               file=sys.stderr)

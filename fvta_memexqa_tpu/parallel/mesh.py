@@ -26,6 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fvta_memexqa_tpu.config import MeshConfig
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host entry (SURVEY.md section 5 "Distributed communication backend"):
+    when launched under a multi-host coordinator (JAX_COORDINATOR_ADDRESS et al. in
+    the environment), initialize the DCN layer so jax.devices() spans all hosts and
+    the same mesh/shardings drive ICI+DCN collectives unchanged. No-op otherwise.
+    Returns True if distributed mode was initialized."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     need = cfg.data_parallel * cfg.context_parallel

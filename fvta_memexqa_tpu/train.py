@@ -174,6 +174,8 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     best_val = -1.0
     t = cfg.train
     done = False
+    steps_done = int(state.step)  # Python mirror of state.step: avoids a device
+    #                               sync per step just to read the counter
 
     for epoch in range(start_epoch, t.num_epochs):
         if done:
@@ -185,22 +187,30 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
             # Tracing (SURVEY.md section 5): profile steps [10, 15) once, after
             # compile noise settles; view with tensorboard/perfetto.
-            if profile_dir and int(state.step) == 10:
+            if profile_dir and steps_done == 10:
                 jax.profiler.start_trace(profile_dir)
-            timer.start()
+            if not timer.samples and timer._t0 is None:
+                timer.start()  # window opens on the first step after a log
             state, m = train_step(state, shared, batch)
-            jax.block_until_ready(m["loss"])
-            timer.stop()
-            step = int(state.step)
+            steps_done += 1
+            step = steps_done
             if profile_dir and step == 15:
+                jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
                 log.log("profile", step=step, dir=profile_dir)
             if step % t.log_period == 0:
+                # Sync only here: steps dispatch asynchronously between logs, so
+                # host-side batch prep and device compute overlap (and per-step
+                # tunnel round-trips are avoided on this box).
+                jax.block_until_ready(m["loss"])
+                timer.stop()
+                window = timer.samples[-1]
+                n_steps = min(t.log_period, step)
                 bs = t.batch_size
                 log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
                         acc=float(m["acc"]),
-                        qa_pairs_per_sec=bs / max(timer.mean(), 1e-9),
-                        p50_step_ms=timer.p50() * 1e3)
+                        qa_pairs_per_sec=bs * n_steps / max(window, 1e-9),
+                        p50_step_ms=window / n_steps * 1e3)
                 timer.reset()
             if val_ds is not None and step % t.val_period == 0:
                 vm = evaluate(eval_step, state.params, shared, val_ds,
