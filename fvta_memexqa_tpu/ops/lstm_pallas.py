@@ -110,6 +110,126 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Streaming variant: x_proj stays in HBM and is DMA'd per (step, batch-tile) with
+# double buffering; outputs are DMA'd back the same way. XLA's lax.scan
+# materializes gates/x_proj slices through HBM every step (~4x the fundamental
+# traffic); this kernel's HBM traffic is exactly read-x_proj-once +
+# write-outputs-once, which is what makes it faster on the word-level encoders
+# (the flagship model's dominant cost). Pattern: pallas_guide.md "Double Buffering".
+# ---------------------------------------------------------------------------
+
+
+def _stream_kernel(xp_hbm, len_ref, wh_ref, out_hbm, fin_ref,
+                   xbuf, obuf, h_scr, c_scr, in_sem, out_sem, *,
+                   seq_len: int, forget_bias: float, block_b: int):
+    gi = pl.program_id(0)
+    bi = pl.program_id(1)
+    hdim = h_scr.shape[-1]
+    bsl = pl.ds(bi * block_b, block_b)
+    h_scr[:] = jnp.zeros_like(h_scr)
+    c_scr[:] = jnp.zeros_like(c_scr)
+    lengths = len_ref[0]
+
+    # x_proj/outputs are TIME-major in HBM ([G, T, B, .]): the tiled (sublane,
+    # lane) dims are (B, 4Hp), so slicing one t is layout-aligned. (Batch-major
+    # would put T on the sublane-tiled dim, where 1-element slices are illegal.)
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(
+            xp_hbm.at[gi, t, bsl, :], xbuf.at[slot, :, 0, :], in_sem.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            obuf.at[slot, :, 0, :], out_hbm.at[gi, t, bsl, :], out_sem.at[slot])
+
+    in_dma(0, 0).start()
+
+    def step(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < seq_len)
+        def _prefetch():
+            in_dma(nxt, t + 1).start()
+
+        in_dma(slot, t).wait()
+        h = h_scr[:]
+        c = c_scr[:]
+        gates = xbuf[slot, :, 0, :] + jnp.dot(h, wh_ref[0],
+                                              preferred_element_type=jnp.float32)
+        i = gates[:, :hdim]
+        j = gates[:, hdim : 2 * hdim]
+        f = gates[:, 2 * hdim : 3 * hdim]
+        o = gates[:, 3 * hdim :]
+        nc = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
+        nh = jnp.tanh(nc) * jax.nn.sigmoid(o)
+        m = (t < lengths).astype(jnp.float32)
+        h_scr[:] = m * nh + (1.0 - m) * h
+        c_scr[:] = m * nc + (1.0 - m) * c
+
+        # wait for this slot's previous output DMA (t-2) before overwriting
+        @pl.when(t >= 2)
+        def _drain():
+            out_dma(slot, t - 2).wait()
+
+        obuf[slot, :, 0, :] = m * nh
+        out_dma(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, seq_len, step, 0)
+    out_dma((seq_len - 1) % 2, seq_len - 1).wait()
+
+    @pl.when(seq_len >= 2)
+    def _():
+        out_dma(seq_len % 2, seq_len - 2).wait()
+
+    fin_ref[0] = h_scr[:]
+
+
+def _pallas_scan_stream(x_proj_bm: jnp.ndarray, lengths: jnp.ndarray, wh: jnp.ndarray,
+                        forget_bias: float, block_b: int, interpret: bool):
+    """Streaming grouped scan (time-major like _pallas_scan).
+
+    x_proj_bm [G, T, B, 4H], lengths i32 [G, B, 1], wh [G, H, 4H]
+      → (out [G, T, B, H], fin [G, B, H]).
+    """
+    g, t, b, g4 = x_proj_bm.shape
+    hdim = wh.shape[1]
+    nb = b // block_b
+    kernel = functools.partial(_stream_kernel, seq_len=t, forget_bias=forget_bias,
+                               block_b=block_b)
+    return pl.pallas_call(
+        kernel,
+        grid=(g, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # xp stays in HBM
+            pl.BlockSpec((1, block_b, 1), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim, g4), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # out written via DMA
+            pl.BlockSpec((1, block_b, hdim), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, t, b, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((g, b, hdim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_b, 1, g4), jnp.float32),   # xbuf (double)
+            pltpu.VMEM((2, block_b, 1, hdim), jnp.float32), # obuf (double)
+            pltpu.VMEM((block_b, hdim), jnp.float32),       # h
+            pltpu.VMEM((block_b, hdim), jnp.float32),       # c
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(x_proj_bm, lengths, wh)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def lstm_scan_pallas(params: LSTMParams, x: jnp.ndarray, mask_f: jnp.ndarray,
                      forget_bias: float = 1.0, block_b: int = 256,
@@ -154,18 +274,27 @@ def _run_grouped(xps: list[jnp.ndarray], mask_f: jnp.ndarray, whs: list[jnp.ndar
     n, t, _ = xps[0].shape
     hp = whs[0].shape[0]
     g4 = xps[0].shape[-1]
-    # VMEM budget: x_proj block (T x bb x 4Hp) and output block (T x bb x Hp) are
-    # each double-buffered across grid cells; keep the working set under ~10MB.
-    vmem_rows = max(8, int(10e6 / (t * (g4 + hp) * 4 * 2)) // 8 * 8)
-    bb = min(block_b, vmem_rows, _round_up(n, 8))
+    # Large batches use the streaming kernel (x_proj tiles DMA'd from HBM per
+    # step); small ones keep x_proj fully VMEM-resident. The threshold is where
+    # streaming's fixed DMA orchestration starts paying for itself.
+    stream = n >= 1024 and t >= 2
+    if stream:
+        bb = 512
+    else:
+        # VMEM budget: x_proj block (T x bb x 4Hp) and output block are each
+        # double-buffered across grid cells; keep the working set under ~10MB.
+        vmem_rows = max(8, int(10e6 / (t * (g4 + hp) * 4 * 2)) // 8 * 8)
+        bb = min(block_b, vmem_rows, _round_up(n, 8))
     n_pad = _round_up(n, bb)
-    xp = jnp.stack([jnp.swapaxes(x, 0, 1) for x in xps])          # [G, T, N, 4Hp]
     lengths = jnp.sum(mask_f > 0.5, axis=1).astype(jnp.int32)     # [N]
     if n_pad != n:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
         lengths = jnp.pad(lengths, (0, n_pad - n))
     lens3 = jnp.broadcast_to(lengths[None, :, None], (len(xps), n_pad, 1))
-    out, fin = _pallas_scan(xp, lens3, jnp.stack(whs), forget_bias, bb, interpret)
+    xp = jnp.stack([jnp.swapaxes(x, 0, 1) for x in xps])          # [G, T, N, 4Hp]
+    if n_pad != n:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    scan = _pallas_scan_stream if stream else _pallas_scan
+    out, fin = scan(xp, lens3, jnp.stack(whs), forget_bias, bb, interpret)
     outs = [jnp.swapaxes(out[g], 0, 1)[:n] for g in range(len(xps))]
     fins = [fin[g, :n] for g in range(len(xps))]
     return outs, fins
