@@ -59,6 +59,11 @@ def main():
     print(f"cached-album inference: {cached_qps:.1f} qa/s "
           f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
 
+    from fvta_memexqa_tpu.bench_lib import bench_train
+
+    train_qps = bench_train(cfg, batch_size=64)
+    print(f"training (fwd+bwd+adam): {train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
+
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -79,6 +84,7 @@ def main():
         "batch_size": best.batch_size,
         "p50_latency_ms_b8": round(b8.p50_latency_ms, 3),
         "cached_qa_pairs_per_sec": round(cached_qps, 2),
+        "train_qa_pairs_per_sec": round(train_qps, 2),
         "platform": platform,
         "pallas": cfg.model.use_pallas,
     }))

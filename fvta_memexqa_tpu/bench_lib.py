@@ -153,6 +153,57 @@ def _timed_loop_fn(model: FVTAModel):
     return fwd_loop
 
 
+def bench_train(cfg: Config, batch_size: int = 64, k_small: int = 10,
+                k_large: int = 60, reps: int = 3, seed: int = 0) -> float:
+    """Training-step throughput (BASELINE.json config 2): full fwd+bwd+adam,
+    dependency-chained inside one jit. Returns QA-pairs/sec."""
+    import time
+    from functools import partial
+
+    from fvta_memexqa_tpu.train import init_state, loss_and_metrics, make_optimizer
+
+    model = FVTAModel(cfg=cfg)
+    shared = synth_shared(cfg, seed=seed)
+    batch = synth_batch(cfg, batch_size, seed=seed + 1)
+    state = init_state(cfg, model, shared, batch)
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, static_argnums=3)
+    def loop(st, sh, b, k):
+        def body(i, carry):
+            params, opt_state, fb = carry
+            b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb,
+                           album_idx=b.album_idx + fb)
+
+            def loss_fn(p):
+                return loss_and_metrics(model, p, sh, b2, jax.random.fold_in(
+                    jax.random.key(0), i), True)[0]
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt_state = opt.update(g, opt_state, params)
+            params = jax.tree.map(lambda a, u: a + u, params, up)
+            fb = jnp.where(jnp.isnan(loss), 1, 0).astype(jnp.int32)
+            return params, opt_state, fb
+
+        params, opt_state, _ = jax.lax.fori_loop(
+            0, k, body, (st.params, st.opt_state, jnp.int32(0)))
+        return jax.tree.leaves(params)[0].sum()
+
+    np.asarray(loop(state, shared, batch, k_small))
+    np.asarray(loop(state, shared, batch, k_large))
+    slopes = []
+    for _ in range(reps):
+        np.asarray(loop(state, shared, batch, k_small))
+        t0 = time.perf_counter()
+        np.asarray(loop(state, shared, batch, k_small))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(loop(state, shared, batch, k_large))
+        d2 = time.perf_counter() - t0
+        slopes.append((d2 - d1) / (k_large - k_small))
+    return batch_size / sorted(slopes)[len(slopes) // 2]
+
+
 def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
                            k_large: int = 250, reps: int = 3, seed: int = 0):
     """Test-set inference throughput through the album-encoding cache

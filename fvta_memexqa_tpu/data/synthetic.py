@@ -67,6 +67,11 @@ def make_synthetic(
 
     def distract(pool: list[str], correct: str, k: int, r: np.random.Generator) -> list[str]:
         others = [x for x in pool if x != correct]
+        if len(others) < k:
+            # pool exhausted (e.g. most objects appear in the album): top up with
+            # never-correct reserve words so the question stays unambiguous
+            reserve = [w for w in _CITIES + _YEARS if w != correct and w not in others]
+            others = others + reserve[: k - len(others)]
         picks = r.choice(len(others), size=k, replace=False)
         return [others[int(j)] for j in picks]
 

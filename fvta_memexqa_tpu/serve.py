@@ -174,16 +174,28 @@ class QAEngine:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         self.stats = {"questions": 0, "batches": 0}
+        self._latencies: list[float] = []  # rolling, most recent 1000
 
     def ask(self, question: str, choices: list[str], album_ids: list[str],
             timeout: float = 30.0) -> dict:
         if len(choices) != NUM_CHOICES:
             raise ValueError(f"need exactly {NUM_CHOICES} choices")
         p = _Pending(question, choices, album_ids)
+        t0 = time.perf_counter()
         self._queue.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("inference timed out")
+        self._latencies.append(time.perf_counter() - t0)
+        if len(self._latencies) > 1000:
+            del self._latencies[:-1000]
         return p.result  # type: ignore[return-value]
+
+    def latency_stats(self) -> dict:
+        if not self._latencies:
+            return {"p50_ms": None, "p95_ms": None}
+        s = sorted(self._latencies)
+        return {"p50_ms": round(s[len(s) // 2] * 1e3, 3),
+                "p95_ms": round(s[int(len(s) * 0.95)] * 1e3, 3)}
 
     def close(self):
         self._stop.set()
@@ -315,7 +327,8 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
         def do_GET(self):
             if self.path == "/stats":
-                self._json(200, {"albums": store.num_albums, **engine.stats})
+                self._json(200, {"albums": store.num_albums, **engine.stats,
+                                 **engine.latency_stats()})
             else:
                 self._json(404, {"error": "unknown path"})
 
