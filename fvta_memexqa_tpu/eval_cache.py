@@ -109,15 +109,15 @@ def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     jax.block_until_ready(cache_h)
     cache_s = time.perf_counter() - t0
     step = make_cached_eval_step(cfg, model)
-    tot_correct = tot_count = tot_loss = 0.0
+    totals = None  # device-side accumulation; one host fetch at the end
     for batch in dataset.get_batches(batch_size, shuffle=False):
         m = step(params, shared, cache_h, cache_m, device_put_batch(batch))
-        tot_correct += float(m["correct"])
-        tot_count += float(m["count"])
-        tot_loss += float(m["loss_sum"])
+        totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
+    totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
+                                            "loss_sum": 0.0})
     return {
-        "acc": tot_correct / max(tot_count, 1.0),
-        "loss": tot_loss / max(tot_count, 1.0),
-        "count": int(tot_count),
+        "acc": totals["correct"] / max(totals["count"], 1.0),
+        "loss": totals["loss_sum"] / max(totals["count"], 1.0),
+        "count": int(totals["count"]),
         "cache_s": cache_s,
     }

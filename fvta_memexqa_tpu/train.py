@@ -117,18 +117,22 @@ def make_eval_step(cfg: Config, model: FVTAModel):
 
 def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
              batch_size: int, mesh=None) -> dict:
-    """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py)."""
-    tot_correct = tot_count = tot_loss = 0.0
+    """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py).
+
+    Per-batch metrics accumulate ON DEVICE and are fetched once at the end — a
+    float() per batch would force a host sync each step (very expensive through
+    this box's tunnel, and needless anywhere)."""
+    totals = None
     for batch in dataset.get_batches(batch_size, shuffle=False):
         batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
         m = eval_step(params, shared, batch)
-        tot_correct += float(m["correct"])
-        tot_count += float(m["count"])
-        tot_loss += float(m["loss_sum"])
+        totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
+    totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
+                                            "loss_sum": 0.0})
     return {
-        "acc": tot_correct / max(tot_count, 1.0),
-        "loss": tot_loss / max(tot_count, 1.0),
-        "count": int(tot_count),
+        "acc": totals["correct"] / max(totals["count"], 1.0),
+        "loss": totals["loss_sum"] / max(totals["count"], 1.0),
+        "count": int(totals["count"]),
     }
 
 
