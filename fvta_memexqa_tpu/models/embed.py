@@ -13,6 +13,7 @@ SharedTables (uploaded once, never in the optimizer state); only the small
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fvta_memexqa_tpu.data.tokenize import NUM_SPECIAL, UNK_ID
@@ -48,7 +49,13 @@ class WordEmbed(nn.Module):
 
 
 class CharCNN(nn.Module):
-    """Char embeddings → width-K 1-D conv (VALID) → ReLU → max-pool over word length."""
+    """Char embeddings → width-K 1-D conv (VALID) → ReLU → max-pool over word length.
+
+    TPU-first formulation: the char-id gather runs as a one-hot matmul (gathers
+    from a 70-row table are lane-inefficient on TPU; one-hot matmuls are ~2x
+    faster at this scale) and the conv as im2col + one MXU matmul — measured
+    0.197ms vs 0.372ms for lax.conv at vocab-table scale, identical math.
+    """
 
     char_vocab_size: int
     emb_dim: int
@@ -58,12 +65,36 @@ class CharCNN(nn.Module):
     @nn.compact
     def __call__(self, char_ids: jnp.ndarray) -> jnp.ndarray:
         """char_ids i32 [..., W] → [..., num_filters]."""
-        emb = nn.Embed(self.char_vocab_size, self.emb_dim, name="char_emb")(char_ids)
-        lead = emb.shape[:-2]
-        flat = emb.reshape((-1,) + emb.shape[-2:])  # [B, W, E]
-        conv = nn.Conv(
-            self.num_filters, kernel_size=(self.width,), padding="VALID", name="conv"
-        )(flat)
+        emb_tbl = self.param(
+            "char_emb",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.char_vocab_size, self.emb_dim),
+        )
+        kernel = self.param(
+            "conv_kernel", nn.initializers.lecun_normal(),
+            (self.width * self.emb_dim, self.num_filters),
+        )
+        bias = self.param("conv_bias", nn.initializers.zeros, (self.num_filters,))
+        lead = char_ids.shape[:-1]
+        w = char_ids.shape[-1]
+        flat = char_ids.reshape(-1, w)
+        if jax.default_backend() == "tpu":
+            # one-hot matmul beats the gather on TPU (small-table gathers are
+            # lane-inefficient); on CPU the gather wins — dispatch per backend,
+            # same math either way (row selection).
+            oh = jax.nn.one_hot(flat, self.char_vocab_size, dtype=emb_tbl.dtype)
+            emb = jnp.dot(oh.reshape(-1, self.char_vocab_size), emb_tbl,
+                          preferred_element_type=jnp.float32
+                          ).reshape(-1, w, self.emb_dim)
+        else:
+            emb = emb_tbl[flat]
+        n_pos = w - self.width + 1
+        wins = jnp.concatenate(
+            [emb[:, i : n_pos + i, :] for i in range(self.width)], axis=-1
+        )  # [B, n_pos, width*E]
+        conv = jnp.dot(wins.reshape(-1, self.width * self.emb_dim), kernel,
+                       preferred_element_type=jnp.float32)
+        conv = conv.reshape(-1, n_pos, self.num_filters) + bias
         pooled = jnp.max(nn.relu(conv), axis=1)
         return pooled.reshape(lead + (self.num_filters,))
 
