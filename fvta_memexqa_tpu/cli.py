@@ -176,6 +176,88 @@ def cmd_serve(argv):
     serve_main(argv)
 
 
+def cmd_video(argv):
+    """TGIF-QA-style video QA demo (BASELINE.json config 4): train FVTA over
+    synthetic frame-feature sequences and report held-out accuracy."""
+    p = argparse.ArgumentParser(prog="fvta video")
+    p.add_argument("--num-videos", type=int, default=96)
+    p.add_argument("--num-frames", type=int, default=64)
+    p.add_argument("--num-choices", type=int, default=5)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--encoder", default="dilated_conv",
+                   choices=["dilated_conv", "bilstm"])
+    p.add_argument("--hidden-dim", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from fvta_memexqa_tpu.config import Config, DataConfig, ModelConfig
+    from fvta_memexqa_tpu.data.device_prepro import SharedTables
+    from fvta_memexqa_tpu.models.video import (VideoFVTAModel, make_synthetic_video,
+                                               video_loss)
+
+    cfg = Config(
+        data=DataConfig(max_question_len=8, max_answer_len=3, max_word_len=6,
+                        image_feat_dim=2537, word_emb_dim=50, word_vocab_size=64,
+                        char_vocab_size=16, num_glove_words=0),
+        model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=4,
+                          char_cnn_filters=8, keep_prob=1.0, vocab_embed=False),
+    )
+    vi, _ = make_synthetic_video(cfg, num_videos=args.num_videos,
+                                 num_frames=args.num_frames,
+                                 num_choices=args.num_choices, seed=args.seed)
+    vi_test, _ = make_synthetic_video(cfg, num_videos=max(args.num_videos // 4, 8),
+                                      num_frames=args.num_frames,
+                                      num_choices=args.num_choices,
+                                      seed=args.seed + 1)
+    rng = np.random.default_rng(args.seed)
+    d = cfg.data
+    shared = SharedTables(
+        word_emb=jnp.asarray(rng.normal(0, 0.3, (d.word_vocab_size, d.word_emb_dim))
+                             .astype(np.float32)),
+        vocab_chars=jnp.zeros((d.word_vocab_size, d.max_word_len), jnp.int32),
+        photo_feats=jnp.zeros((1, d.image_feat_dim)),
+        album_photo_idx=jnp.zeros((1, 1), jnp.int32),
+        album_photo_mask=jnp.zeros((1, 1), bool),
+        photo_title_words=jnp.zeros((1, 1, 1), jnp.int32),
+        photo_title_chars=jnp.zeros((1, 1, 1, 1), jnp.int32),
+        photo_title_mask=jnp.zeros((1, 1, 1), bool),
+        album_text_words=jnp.zeros((1, 4, 1), jnp.int32),
+        album_text_chars=jnp.zeros((1, 4, 1, 1), jnp.int32),
+        album_text_mask=jnp.zeros((1, 4, 1), bool),
+    )
+    model = VideoFVTAModel(cfg=cfg, num_choices=args.num_choices,
+                           temporal_encoder=args.encoder)
+    params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+        jax.random.key(args.seed))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        (l, aux), g = jax.value_and_grad(
+            lambda pp: video_loss(model, pp, shared, vi, None, False),
+            has_aux=True)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l, aux["acc"]
+
+    for i in range(args.steps):
+        params, opt_state, loss, acc = step(params, opt_state)
+        if (i + 1) % 50 == 0:
+            print(f"[video] step={i+1} loss={float(loss):.4f} "
+                  f"train_acc={float(acc):.4f}", file=sys.stderr)
+    _, test_m = video_loss(model, params, shared, vi_test, None, False)
+    print(json.dumps({
+        "encoder": args.encoder, "num_frames": args.num_frames,
+        "train_acc": float(acc), "heldout_acc": float(test_m["acc"]),
+        "chance": 1.0 / args.num_choices,
+    }))
+
+
 def cmd_synth(argv):
     p = argparse.ArgumentParser(prog="fvta synth")
     p.add_argument("outdir")
@@ -203,6 +285,7 @@ COMMANDS = {
     "ablate": cmd_ablate,
     "serve": cmd_serve,
     "synth": cmd_synth,
+    "video": cmd_video,
 }
 
 

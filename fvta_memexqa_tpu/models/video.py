@@ -194,7 +194,12 @@ def make_synthetic_video(cfg: Config, num_videos: int = 32, num_frames: int = 64
     d = cfg.data
     rng = np.random.default_rng(seed)
     events = ["jump", "spin", "wave", "fall", "clap", "run", "nod", "point"]
-    dirs = {e: rng.normal(0, 1, d.image_feat_dim).astype(np.float32) for e in events}
+    # event feature directions come from a FIXED generator, independent of `seed`:
+    # different seeds must describe the same underlying visual world, or held-out
+    # sets are unlearnable by construction
+    dir_rng = np.random.default_rng(20260816)
+    dirs = {e: dir_rng.normal(0, 1, d.image_feat_dim).astype(np.float32)
+            for e in events}
     n = num_videos
     feats = 0.1 * rng.normal(0, 1, (n, num_frames, d.image_feat_dim)).astype(np.float32)
     labels = np.zeros(n, np.int32)
