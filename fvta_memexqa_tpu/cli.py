@@ -8,8 +8,10 @@ here:
     python -m fvta_memexqa_tpu.cli prepro <qas> <album_info> <testids> <glove> <npz> <outdir>
     python -m fvta_memexqa_tpu.cli train  <packdir> <rundir> [flags]
     python -m fvta_memexqa_tpu.cli test   <packdir> <rundir> [--load-best/--load-latest]
+    python -m fvta_memexqa_tpu.cli ablate <packdir> <rundir>   (fvta|flat|none sweep)
     python -m fvta_memexqa_tpu.cli serve  <packdir> <rundir> [--port]
     python -m fvta_memexqa_tpu.cli synth  <outdir>   (write synthetic raw files)
+    python -m fvta_memexqa_tpu.cli video  [--encoder dilated_conv|bilstm]
 
 All flags round-trip through the frozen Config and are saved to <rundir>/config.json.
 """

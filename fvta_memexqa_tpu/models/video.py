@@ -214,8 +214,8 @@ def make_synthetic_video(cfg: Config, num_videos: int = 32, num_frames: int = 64
     for i in range(n):
         ev_idx = int(rng.integers(len(events)))
         ev = events[ev_idx]
-        start = int(rng.integers(0, num_frames // 2))
-        span = int(rng.integers(4, num_frames // 2))
+        start = int(rng.integers(0, max(num_frames // 2, 1)))
+        span = int(rng.integers(2, max(num_frames // 2, 3)))
         feats[i, start : start + span] += dirs[ev]
         q = ["what", "did", "the", "person", "do", "?"]
         for j, w in enumerate(q[: d.max_question_len]):

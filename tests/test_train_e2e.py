@@ -107,3 +107,45 @@ class TestCLI:
         assert 0.0 <= out["accuracy"] <= 1.0 and out["count"] == 3
         assert os.path.exists(os.path.join(rundir, "config.json"))
         assert os.path.exists(os.path.join(rundir, "metrics.jsonl"))
+        # cached and uncached eval agree through the CLI too
+        out2 = json.loads(run(["test", packdir, rundir, "--no-album-cache"]))
+        assert out2["accuracy"] == out["accuracy"]
+
+    def test_ablate_cli(self, tmp_path):
+        raw = str(tmp_path / "raw")
+        packdir = str(tmp_path / "pack")
+        env = {**os.environ, "FVTA_PLATFORM": "cpu"}
+        py = sys.executable
+
+        def run(args, timeout=1200):
+            r = subprocess.run([py, "-m", "fvta_memexqa_tpu.cli", *args],
+                               capture_output=True, text=True, env=env,
+                               cwd="/root/repo", timeout=timeout)
+            assert r.returncode == 0, f"{args}: {r.stderr[-2000:]}"
+            return r.stdout.strip().splitlines()[-1]
+
+        run(["synth", raw, "--num-questions", "12", "--num-albums", "3"])
+        run(["prepro", f"{raw}/qas.json", f"{raw}/album_info.json",
+             f"{raw}/test_question.ids", "none", f"{raw}/photo_feats.npz",
+             str(tmp_path / "pack"), "--max-albums", "2", "--max-photos", "4",
+             "--max-question-len", "10", "--max-answer-len", "4",
+             "--max-sent-len", "6", "--max-album-text-len", "8",
+             "--max-word-len", "8", "--image-feat-dim", "64"])
+        out = json.loads(run(["ablate", packdir, str(tmp_path / "abl"),
+                              "--hidden-dim", "8", "--char-emb-dim", "4",
+                              "--char-cnn-filters", "8", "--num-epochs", "1",
+                              "--batch-size", "4", "--val-period", "50",
+                              "--variants", "fvta,none"]))
+        assert set(out) == {"fvta", "none"}
+        assert all("test_acc" in v for v in out.values())
+
+    def test_video_cli(self, tmp_path):
+        env = {**os.environ, "FVTA_PLATFORM": "cpu"}
+        r = subprocess.run(
+            [sys.executable, "-m", "fvta_memexqa_tpu.cli", "video",
+             "--num-videos", "16", "--num-frames", "8", "--steps", "30",
+             "--hidden-dim", "8"],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=1200)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert 0.0 <= out["heldout_acc"] <= 1.0 and out["chance"] == 0.2
