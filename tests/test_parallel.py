@@ -68,6 +68,27 @@ class TestDPTraining:
         assert np.isfinite(float(m_dp["loss"]))
 
 
+class TestDPTrainLoop:
+    def test_full_train_loop_on_mesh(self, packed_synth, small_config, tmp_path):
+        """The whole train() driver (loop, val, checkpointing) over an 8-way DP
+        mesh — not just the step function."""
+        from fvta_memexqa_tpu.config import TrainConfig
+        from fvta_memexqa_tpu.train import train as run_train
+
+        cfg = small_config.replace(
+            mesh=MeshConfig(data_parallel=8),
+            train=TrainConfig(batch_size=8, eval_batch_size=8, learning_rate=1e-3,
+                              num_epochs=2, val_period=3, save_period=10,
+                              log_period=2, seed=0),
+        )
+        res = run_train(cfg, packed_synth, str(tmp_path / "dp_run"), echo=False)
+        assert res["steps"] > 0
+        assert 0.0 <= res["best_val_acc"] <= 1.0
+        # params ended up replicated across the mesh
+        leaf = jax.tree.leaves(res["state"].params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+
 class TestCPAttention:
     def make_case(self, n=2, s=4, t=32, j=5, d=8, seed=0):
         rng = np.random.default_rng(seed)

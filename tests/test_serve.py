@@ -173,6 +173,29 @@ class TestHTTP:
         res = json.load(urllib.request.urlopen(req, timeout=30))
         assert "answer" in res and res["albums_found"] == 1
 
+        # ingest a NEW album over HTTP (features in the request), then ask about it
+        feat_dim = int(np.asarray(feats[next(iter(feats))]).shape[0])
+        ingest = urllib.request.Request(
+            f"{base}/albums",
+            data=json.dumps({
+                "album": {"album_id": "http_album", "album_title": "the lagoon trip",
+                          "album_where": "lisbon", "album_when": "july 2015",
+                          "photo_ids": ["hp1"],
+                          "photo_titles": ["a photo of a boat"]},
+                "photo_feats": {"hp1": [0.1] * feat_dim},
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.load(urllib.request.urlopen(ingest, timeout=60))
+        assert res["ingested"] == "http_album"
+        res = json.load(urllib.request.urlopen(urllib.request.Request(
+            f"{base}/ask",
+            data=json.dumps({"question": "where did we go on the lagoon trip ?",
+                             "choices": ["lisbon", "mars", "narnia", "void"],
+                             "album_ids": ["http_album"]}).encode(),
+            headers={"Content-Type": "application/json"}), timeout=60))
+        assert res["albums_found"] == 1
+
         # bad request -> 400 with error body
         bad = urllib.request.Request(
             f"{base}/ask", data=json.dumps({"question": "q"}).encode(),
