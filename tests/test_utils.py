@@ -1,0 +1,67 @@
+"""Public import surface + metrics utilities."""
+
+import importlib
+import json
+
+import pytest
+
+
+def test_public_import_surface():
+    """Every public module imports cleanly (catches broken lazy imports)."""
+    mods = [
+        "fvta_memexqa_tpu",
+        "fvta_memexqa_tpu.config",
+        "fvta_memexqa_tpu.cli",
+        "fvta_memexqa_tpu.data",
+        "fvta_memexqa_tpu.data.device_prepro",
+        "fvta_memexqa_tpu.models",
+        "fvta_memexqa_tpu.models.video",
+        "fvta_memexqa_tpu.ops",
+        "fvta_memexqa_tpu.ops.lstm_pallas",
+        "fvta_memexqa_tpu.ops.fvta_pallas",
+        "fvta_memexqa_tpu.parallel",
+        "fvta_memexqa_tpu.parallel.cp",
+        "fvta_memexqa_tpu.train",
+        "fvta_memexqa_tpu.checkpoint",
+        "fvta_memexqa_tpu.eval_cache",
+        "fvta_memexqa_tpu.serve",
+        "fvta_memexqa_tpu.bench_lib",
+        "fvta_memexqa_tpu.utils",
+    ]
+    for m in mods:
+        importlib.import_module(m)
+
+
+def test_config_json_round_trip():
+    from fvta_memexqa_tpu.config import Config, MeshConfig, ModelConfig
+
+    cfg = Config(model=ModelConfig(hidden_dim=77, attention="flat"),
+                 mesh=MeshConfig(data_parallel=4, context_parallel=2))
+    again = Config.from_json(cfg.to_json())
+    assert again == cfg
+    assert again.mesh.num_devices == 8
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from fvta_memexqa_tpu.utils import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, echo=False)
+    log.log("train", step=1, loss=0.5)
+    log.log("val", step=1, acc=0.75)
+    log.close()
+    recs = [json.loads(line) for line in open(path)]
+    assert [r["event"] for r in recs] == ["train", "val"]
+    assert recs[1]["acc"] == 0.75
+
+
+def test_timer_p50():
+    from fvta_memexqa_tpu.utils import Timer
+
+    t = Timer()
+    for _ in range(5):
+        t.start()
+        t.stop()
+    assert t.p50() >= 0.0 and len(t.samples) == 5
+    t.reset()
+    assert t.samples == [] and t.p50() == 0.0
