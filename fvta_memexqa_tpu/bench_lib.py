@@ -138,12 +138,16 @@ def _timed_loop_fn(model: FVTAModel):
             # Perturb an input on EVERY independent compute path (question, choices,
             # album/photo gathers + all context encoders) or XLA hoists the
             # untouched paths out of the loop and the measurement undercounts.
+            # vocab_chars too: the per-vocab embed table depends only on params and
+            # would otherwise be computed once outside the loop, while every real
+            # eval step pays it (ADVICE round 1).
             b2 = b.replace(
                 q_words=b.q_words + feedback,
                 choice_words=b.choice_words + feedback,
                 album_idx=b.album_idx + feedback,
             )
-            lg = model.apply(p, sh, assemble(sh, b2), train=False).logits
+            sh2 = sh.replace(vocab_chars=sh.vocab_chars + feedback)
+            lg = model.apply(p, sh2, assemble(sh2, b2), train=False).logits
             s = lg.sum()
             fb = jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)  # 0 at runtime
             return acc + s, fb
@@ -239,12 +243,13 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
             acc, fb = carry
             b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb,
                            album_idx=b.album_idx + fb)
-            mi = assemble(sh, b2)
+            sh2 = sh.replace(vocab_chars=sh.vocab_chars + fb)  # defeat table hoist
+            mi = assemble(sh2, b2)
             n, a = b2.album_idx.shape
             h = ch[b2.album_idx]
             m = cm[b2.album_idx] & b2.album_mask[:, :, None, None]
             t = h.shape[3]
-            out = model.apply(p, sh, mi, h.reshape(n, a * n_mod, t, -1),
+            out = model.apply(p, sh2, mi, h.reshape(n, a * n_mod, t, -1),
                               m.reshape(n, a * n_mod, t), train=False,
                               method=model.answer)
             s = out.logits.sum()

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from fvta_memexqa_tpu.config import Config, load_config, save_config
@@ -62,10 +61,7 @@ class CheckpointManager:
             step = self.best_step() if best else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        target = jax.tree.map(
-            lambda x: x if hasattr(x, "shape") else x, abstract_state
-        )
-        return self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def wait(self):
         self.mgr.wait_until_finished()

@@ -54,6 +54,10 @@ class DataConfig:
     word_vocab_size: int = 0
     char_vocab_size: int = 0
     num_glove_words: int = 0     # rows [2, num_glove_words+2) are frozen GloVe rows
+    # Rows [word_vocab_size, extended_vocab_size) of vocab_chars are the packer's
+    # extended lexicon: eval-time OOV words, embedded as UNK word + REAL chars so
+    # the char-CNN keeps its OOV signal on val/test (0 = no extension).
+    extended_vocab_size: int = 0
 
     @property
     def num_context_seqs(self) -> int:

@@ -65,14 +65,20 @@ class PackedDataset:
 def _encode_text(
     text_tokens: list[str], vocab: Vocab, max_len: int, max_word_len: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Token list → (word ids [L], char ids [L, W], mask [L]) padded to max_len."""
+    """Token list → (word ids [L], char ids [L, W], mask [L]) padded to max_len.
+
+    Canonical UNK semantics: a token that maps to UNK_ID (absent even from the
+    extended lexicon — only possible for text the packer never saw, e.g. novel
+    serve-time words) gets PAD chars, so the per-token path stays bit-compatible
+    with the vocab-table fast path (vocab_chars[UNK_ID] is the zero row)."""
     toks = text_tokens[:max_len]
     words = np.zeros(max_len, dtype=np.int32)
     chars = np.zeros((max_len, max_word_len), dtype=np.int32)
     mask = np.zeros(max_len, dtype=bool)
     for i, t in enumerate(toks):
         words[i] = vocab.word_id(t)
-        chars[i] = word_to_char_ids(t, vocab.char2idx, max_word_len)
+        if words[i] != 1:  # UNK_ID
+            chars[i] = word_to_char_ids(t, vocab.char2idx, max_word_len)
         mask[i] = True
     return words, chars, mask
 
@@ -95,17 +101,43 @@ class BatchEncoder:
                      if native else None)
 
     def encode(self, texts: list[str], max_len: int, max_word_len: int):
-        """→ (words i32 [N, L], chars i32 [N, L, W], mask bool [N, L])."""
+        """→ (words i32 [N, L], chars i32 [N, L, W], mask bool [N, L]).
+
+        UNK tokens get PAD chars (see _encode_text) — enforced here after either
+        path so the native and Python encoders share the canonical semantics."""
         n = len(texts)
         if self._enc is not None and all(t.isascii() for t in texts):
-            return self._enc.encode_batch(texts, max_len, max_word_len)
-        words = np.zeros((n, max_len), dtype=np.int32)
-        chars = np.zeros((n, max_len, max_word_len), dtype=np.int32)
-        mask = np.zeros((n, max_len), dtype=bool)
-        for i, t in enumerate(texts):
-            words[i], chars[i], mask[i] = _encode_text(
-                tokenize(t), self.vocab, max_len, max_word_len)
+            words, chars, mask = self._enc.encode_batch(texts, max_len, max_word_len)
+        else:
+            words = np.zeros((n, max_len), dtype=np.int32)
+            chars = np.zeros((n, max_len, max_word_len), dtype=np.int32)
+            mask = np.zeros((n, max_len), dtype=bool)
+            for i, t in enumerate(texts):
+                words[i], chars[i], mask[i] = _encode_text(
+                    tokenize(t), self.vocab, max_len, max_word_len)
+        chars[words == 1] = 0  # UNK_ID → PAD chars (canonical UNK semantics)
         return words, chars, mask
+
+
+def _assert_prefix_masks(sh: PackedShared) -> None:
+    """Every LSTM time mask must be a contiguous prefix: the Pallas fused scan
+    (ops/lstm_pallas.py) derives in-kernel masking from lengths=sum(mask) and the
+    backward direction flips sequences to the front, both of which assume no
+    interior holes. Pack-time compaction guarantees it; this validates the
+    guarantee at the data boundary so a violation fails HERE, not as silent
+    numeric divergence on chip."""
+
+    def check(m: np.ndarray, name: str) -> None:
+        m2 = m.reshape(-1, m.shape[-1])
+        lens = m2.sum(axis=-1)
+        expect = np.arange(m2.shape[-1])[None, :] < lens[:, None]
+        if not np.array_equal(m2, expect):
+            raise AssertionError(f"{name}: non-prefix time mask after compaction")
+
+    check(sh.album_photo_mask, "album_photo_mask")
+    check(sh.photo_title_mask.any(axis=-1), "photo_title time mask")
+    check(sh.photo_title_mask, "photo_title word mask")
+    check(sh.album_text_mask, "album_text_mask")
 
 
 def _album_text(album: Album, field: str) -> str:
@@ -169,14 +201,6 @@ def pack(
     vocab = Vocab.build(
         _train_token_stream(splits["train"], albums), glove, cfg.word_emb_dim, seed=seed
     )
-    cfg = DataConfig(
-        **{
-            **cfg.__dict__,
-            "word_vocab_size": vocab.size,
-            "char_vocab_size": vocab.char_size,
-            "num_glove_words": vocab.num_glove,
-        }
-    )
 
     # ---- shared tables -------------------------------------------------------
     # Keep only albums actually referenced; row 0 of every table is the pad album.
@@ -184,17 +208,64 @@ def pack(
     album_row = {aid: i + 1 for i, aid in enumerate(used_album_ids)}
     n_alb = len(used_album_ids) + 1
 
+    # Per album: the first max_photos photos WITH features, compacted to the front.
+    # A mid-album photo missing from the feature npz would otherwise leave a hole
+    # in album_photo_mask; every LSTM time mask must be a contiguous prefix (the
+    # Pallas scan derives in-kernel masking from lengths — see
+    # _assert_prefix_masks below). Titles travel with their photos, temporal
+    # order preserved.
+    album_kept: dict[str, list[tuple[str, str]]] = {}
     used_photo_ids: list[str] = []
     photo_row: dict[str, int] = {}
     for aid in used_album_ids:
-        for pid in albums[aid].photo_ids[: cfg.max_photos]:
-            if pid not in photo_row and pid in photo_feats:
+        a = albums[aid]
+        kept = [(pid, title) for pid, title in zip(a.photo_ids, a.photo_titles)
+                if pid in photo_feats][: cfg.max_photos]
+        album_kept[aid] = kept
+        for pid, _ in kept:
+            if pid not in photo_row:
                 photo_row[pid] = len(used_photo_ids) + 1
                 used_photo_ids.append(pid)
     n_ph = len(used_photo_ids) + 1
 
-    vocab_chars = np.zeros((vocab.size, cfg.max_word_len), dtype=np.int32)
+    # ---- extended eval-time lexicon -------------------------------------------
+    # The vocab is train-only (reference parity), so val/test text contains OOV
+    # words. Mapping them to bare UNK would lose the char-CNN's OOV signal in the
+    # vocab-table fast path (vocab_chars[UNK] is the zero row). Instead every OOV
+    # word in any packed text gets an EXTENDED id >= vocab.size whose vocab_chars
+    # row holds its real chars; models/embed.py maps extended ids to the UNK word
+    # embedding. Both embed paths are then bit-identical AND keep the char signal.
+    title_text_of = {aid: [t for _, t in kept] for aid, kept in album_kept.items()}
+    lexicon_texts: list[str] = []
+    for aid in used_album_ids:
+        lexicon_texts.extend(_album_text(albums[aid], f) for f in ALBUM_TEXT_FIELDS)
+        lexicon_texts.extend(title_text_of[aid])
+    for name in ("train", "val", "test"):
+        for qa in splits[name]:
+            lexicon_texts.append(qa.question)
+            lexicon_texts.extend(qa.choices)
+    from fvta_memexqa_tpu.data.tokenize import tokenize_many
+
+    ext2idx: dict[str, int] = {}
+    for toks in tokenize_many(lexicon_texts):
+        for t in toks:
+            if t not in vocab.word2idx and t not in ext2idx:
+                ext2idx[t] = vocab.size + len(ext2idx)
+
+    cfg = DataConfig(
+        **{
+            **cfg.__dict__,
+            "word_vocab_size": vocab.size,
+            "char_vocab_size": vocab.char_size,
+            "num_glove_words": vocab.num_glove,
+            "extended_vocab_size": vocab.size + len(ext2idx),
+        }
+    )
+
+    vocab_chars = np.zeros((cfg.extended_vocab_size, cfg.max_word_len), dtype=np.int32)
     for w, wid in vocab.word2idx.items():
+        vocab_chars[wid] = word_to_char_ids(w, vocab.char2idx, cfg.max_word_len)
+    for w, wid in ext2idx.items():
         vocab_chars[wid] = word_to_char_ids(w, vocab.char2idx, cfg.max_word_len)
 
     feat_dim = cfg.image_feat_dim
@@ -220,19 +291,28 @@ def pack(
         if f.shape[0] != feat_dim:
             raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {feat_dim}")
         sh.photo_feats[row] = f
-    enc = BatchEncoder(vocab)
+    import dataclasses as _dc
+
+    enc = BatchEncoder(_dc.replace(vocab, word2idx={**vocab.word2idx, **ext2idx}))
     title_texts = ["" for _ in range(n_alb * cfg.max_photos)]
     for aid, row in album_row.items():
-        a = albums[aid]
-        for p, pid in enumerate(a.photo_ids[: cfg.max_photos]):
-            if pid in photo_row:
-                sh.album_photo_idx[row, p] = photo_row[pid]
-                sh.album_photo_mask[row, p] = True
-            title_texts[row * cfg.max_photos + p] = a.photo_titles[p]
+        for p, (pid, title) in enumerate(album_kept[aid]):
+            sh.album_photo_idx[row, p] = photo_row[pid]
+            sh.album_photo_mask[row, p] = True
+            title_texts[row * cfg.max_photos + p] = title
     w, ch, m = enc.encode(title_texts, cfg.max_sent_len, cfg.max_word_len)
     sh.photo_title_words[:] = w.reshape(sh.photo_title_words.shape)
     sh.photo_title_chars[:] = ch.reshape(sh.photo_title_chars.shape)
     sh.photo_title_mask[:] = m.reshape(sh.photo_title_mask.shape)
+
+    # Compact titled slots to the front of the photo_title TIME axis (a kept photo
+    # with an empty title would otherwise leave a hole in the title time mask the
+    # model derives via mask.any(-1)). Temporal order of titled photos preserved.
+    t_order = np.argsort(~sh.photo_title_mask.any(axis=-1), axis=1, kind="stable")
+    sh.photo_title_words = np.take_along_axis(sh.photo_title_words, t_order[:, :, None], 1)
+    sh.photo_title_chars = np.take_along_axis(
+        sh.photo_title_chars, t_order[:, :, None, None], 1)
+    sh.photo_title_mask = np.take_along_axis(sh.photo_title_mask, t_order[:, :, None], 1)
 
     for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
         field_texts = ["" for _ in range(n_alb)]
@@ -268,12 +348,16 @@ def pack(
         arr["choice_chars"] = cc.reshape(n, 4, cfg.max_answer_len, cfg.max_word_len)
         arr["choice_mask"] = cm.reshape(n, 4, cfg.max_answer_len)
         for i, qa in enumerate(split_qas_list):
-            for a_i, aid in enumerate(qa.album_ids[: cfg.max_albums]):
-                if aid in album_row:
-                    arr["album_idx"][i, a_i] = album_row[aid]
-                    arr["album_mask"][i, a_i] = True
+            slot = 0  # compact known albums to the front (prefix album_mask)
+            for aid in qa.album_ids:
+                if aid in album_row and slot < cfg.max_albums:
+                    arr["album_idx"][i, slot] = album_row[aid]
+                    arr["album_mask"][i, slot] = True
+                    slot += 1
             arr["label"][i] = qa.label
         split_arrays[name] = arr
+
+    _assert_prefix_masks(sh)
 
     # ---- write ---------------------------------------------------------------
     np.savez_compressed(os.path.join(out_dir, "shared.npz"), **sh.__dict__)
@@ -287,7 +371,9 @@ def pack(
         "num_albums": n_alb - 1,
         "num_photos": n_ph - 1,
         "split_sizes": {k: len(v) for k, v in splits.items()},
-        "id_layout": "0=PAD 1=UNK [2,2+G)=glove-frozen [2+G,V)=trainable",
+        "id_layout": ("0=PAD 1=UNK [2,2+G)=glove-frozen [2+G,V)=trainable "
+                      "[V,V_ext)=extended-lexicon (UNK word emb + real chars)"),
+        "ext_word2idx": ext2idx,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)

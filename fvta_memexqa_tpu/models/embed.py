@@ -26,7 +26,15 @@ class WordEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, frozen_table: jnp.ndarray) -> jnp.ndarray:
-        """ids [...], frozen_table f32 [V, D] (from SharedTables) → [..., D]."""
+        """ids [...], frozen_table f32 [V, D] (from SharedTables) → [..., D].
+
+        Ids >= vocab_size are EXTENDED ids: eval-time OOV words the packer assigned
+        rows past the trainable vocab (data/pack.py "extended lexicon"). Their word
+        embedding is the UNK row — exactly what the per-token path produces for an
+        OOV word — while their chars stay real, so the char-CNN keeps its OOV
+        signal on val/test text.
+        """
+        ids = jnp.where(ids >= self.vocab_size, UNK_ID, ids)
         boundary = NUM_SPECIAL + self.num_glove
         num_trainable = max(self.vocab_size - boundary + 1, 1)  # UNK + OOV rows
         trainable = self.param(
@@ -37,14 +45,15 @@ class WordEmbed(nn.Module):
         f_id = jnp.clip(ids, 0, boundary - 1)
         return jnp.where(is_trainable[..., None], trainable[t_id], frozen_table[f_id])
 
-    def full_table(self, frozen_table: jnp.ndarray) -> jnp.ndarray:
-        """Materialize the complete [V, D] table (frozen GloVe rows + trainable rows).
+    def full_table(self, frozen_table: jnp.ndarray, num_rows: int | None = None) -> jnp.ndarray:
+        """Materialize the complete [num_rows, D] table (frozen GloVe + trainable
+        rows; rows >= vocab_size resolve to the UNK row — extended-lexicon words).
 
         Used by the per-vocab embed-table path: all token-embedding compute
-        (char-CNN, highway) runs once over the V vocab rows instead of once per
+        (char-CNN, highway) runs once over the vocab rows instead of once per
         token occurrence — identical math, since it depends only on word identity.
         """
-        ids = jnp.arange(self.vocab_size)
+        ids = jnp.arange(num_rows if num_rows is not None else self.vocab_size)
         return self(ids, frozen_table)
 
 

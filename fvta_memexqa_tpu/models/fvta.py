@@ -95,9 +95,13 @@ class FVTAModel(nn.Module):
     # ---- building blocks -----------------------------------------------------
 
     def _vocab_table(self, shared: SharedTables) -> jnp.ndarray:
-        """[V, d_in] full token-embedding table: word emb + char-CNN + highway
-        computed once over the vocab (cfg.model.vocab_embed fast path)."""
-        w = self.word_embed.full_table(shared.word_emb)
+        """[V_ext, d_in] full token-embedding table: word emb + char-CNN + highway
+        computed once over the vocab (cfg.model.vocab_embed fast path).
+
+        Rows >= word_vocab_size are the packer's extended-lexicon rows (eval-time
+        OOV words): UNK word embedding + the word's REAL chars, bit-identical to
+        what the per-token path computes for those tokens."""
+        w = self.word_embed.full_table(shared.word_emb, shared.vocab_chars.shape[0])
         c = self.char_cnn(shared.vocab_chars)
         return self.highway(jnp.concatenate([w, c], axis=-1))
 

@@ -110,7 +110,7 @@ class VideoFVTAModel(nn.Module):
     def _embed_text(self, shared, words, chars, train):
         m = self.cfg.model
         if m.vocab_embed:
-            w = self.word_embed.full_table(shared.word_emb)
+            w = self.word_embed.full_table(shared.word_emb, shared.vocab_chars.shape[0])
             c = self.char_cnn(shared.vocab_chars)
             table = self.highway(jnp.concatenate([w, c], axis=-1))
             x = table[words]

@@ -39,9 +39,13 @@ from fvta_memexqa_tpu.models.fvta import FVTAModel
 
 
 def vocab_view(meta: dict) -> Vocab:
-    """Reconstruct a tokenization-only Vocab from pack metadata (no embedding)."""
+    """Reconstruct a tokenization-only Vocab from pack metadata (no embedding).
+
+    Includes the packer's extended eval-time lexicon (pack.py), so serve-time text
+    containing words the packer saw anywhere resolves to extended rows (UNK word
+    embedding + real chars) instead of bare UNK."""
     return Vocab(
-        word2idx=meta["word2idx"],
+        word2idx={**meta["word2idx"], **meta.get("ext_word2idx", {})},
         char2idx=meta["char2idx"],
         num_glove=meta["data_config"]["num_glove_words"],
         emb_init=np.zeros((0, 0), np.float32),
@@ -62,15 +66,21 @@ def _single_album_inputs(cfg: Config, vocab: Vocab, album: Album,
     atw = np.zeros((1, 1, 4, Tt), np.int32)
     atc = np.zeros((1, 1, 4, Tt, W), np.int32)
     atm = np.zeros((1, 1, 4, Tt), bool)
-    for p, pid in enumerate(album.photo_ids[:P]):
-        if pid in photo_feats:
-            f = np.asarray(photo_feats[pid], np.float32).reshape(-1)
-            if f.shape[0] != d.image_feat_dim:
-                raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {d.image_feat_dim}")
-            feats[0, 0, p] = f
-            pmask[0, 0, p] = True
-        w, c, m = _encode_text(tokenize(album.photo_titles[p]), vocab, Ts, W)
+    # Same compaction as pack.py: photos with features move to the front (titles
+    # travel with their photos), then titled slots compact to the front of the
+    # title time axis — every LSTM time mask must be a contiguous prefix.
+    kept = [(pid, title) for pid, title in zip(album.photo_ids, album.photo_titles)
+            if pid in photo_feats][:P]
+    for p, (pid, title) in enumerate(kept):
+        f = np.asarray(photo_feats[pid], np.float32).reshape(-1)
+        if f.shape[0] != d.image_feat_dim:
+            raise ValueError(f"photo {pid}: feat dim {f.shape[0]} != {d.image_feat_dim}")
+        feats[0, 0, p] = f
+        pmask[0, 0, p] = True
+        w, c, m = _encode_text(tokenize(title), vocab, Ts, W)
         ptw[0, 0, p], ptc[0, 0, p], ptm[0, 0, p] = w, c, m
+    t_order = np.argsort(~ptm[0, 0].any(axis=-1), kind="stable")
+    ptw[0, 0], ptc[0, 0], ptm[0, 0] = ptw[0, 0, t_order], ptc[0, 0, t_order], ptm[0, 0, t_order]
     for fi, fname in enumerate(ALBUM_TEXT_FIELDS):
         w, c, m = _encode_text(tokenize(_album_text(album, fname)), vocab, Tt, W)
         atw[0, 0, fi], atc[0, 0, fi], atm[0, 0, fi] = w, c, m

@@ -27,8 +27,10 @@ inline bool is_alnum(unsigned char c) {
 }
 
 inline bool is_space(unsigned char c) {
-  // Python str.split()-style ASCII whitespace.
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+  // Python re \s over ASCII: \t\n\v\f\r, space, AND the separator control
+  // chars 0x1c-0x1f (FS/GS/RS/US) — dropping the latter made the native
+  // tokenizer emit extra single-char tokens the regex spec drops.
+  return c == ' ' || (c >= '\t' && c <= '\r') || (c >= 0x1c && c <= 0x1f);
 }
 
 }  // namespace

@@ -129,6 +129,108 @@ class TestPack:
         np.testing.assert_array_equal(p1.shared.word_emb_init, p2.shared.word_emb_init)
 
 
+class TestExtendedLexicon:
+    """Eval-time OOV words get extended ids with REAL chars (ADVICE round 1:
+    the vocab-table fast path must not lose the char-CNN OOV signal)."""
+
+    def _pack_with_oov(self, tmp_path):
+        import dataclasses
+
+        from fvta_memexqa_tpu.data import load_pack, pack
+        from tests.conftest import small_data_config
+
+        qas, albums, feats, test_ids, glove = make_synthetic(seed=0)
+        # inject a word that never appears in train text into a TEST question
+        ti = next(i for i, q in enumerate(qas) if q.question_id in test_ids)
+        qas[ti] = dataclasses.replace(qas[ti],
+                                      question="where was the xylophoneword shot")
+        out = str(tmp_path / "pack")
+        pack(qas, albums, feats, test_ids, glove, out, small_data_config(), seed=0)
+        return load_pack(out), qas[ti].question_id
+
+    def test_oov_gets_extended_id_with_real_chars(self, tmp_path):
+        from fvta_memexqa_tpu.data.tokenize import word_to_char_ids
+
+        packed, qid = self._pack_with_oov(tmp_path)
+        cfg, meta = packed.cfg, packed.meta
+        assert cfg.extended_vocab_size > cfg.word_vocab_size
+        assert "xylophoneword" in meta["ext_word2idx"]
+        ext_id = meta["ext_word2idx"]["xylophoneword"]
+        assert ext_id >= cfg.word_vocab_size
+        row = np.where(packed.splits["test"]["qid"] == qid)[0][0]
+        q_words = packed.splits["test"]["q_words"][row]
+        q_chars = packed.splits["test"]["q_chars"][row]
+        pos = np.where(q_words == ext_id)[0]
+        assert pos.size == 1, f"expected one extended-id token, words={q_words}"
+        expected = word_to_char_ids("xylophoneword", meta["char2idx"], cfg.max_word_len)
+        np.testing.assert_array_equal(packed.shared.vocab_chars[ext_id], expected)
+        # per-token chars == vocab_chars row (the bit-compat invariant's premise)
+        np.testing.assert_array_equal(q_chars[pos[0]], expected)
+        # no token in any split carries bare UNK (the lexicon covers everything)
+        for s in ("train", "val", "test"):
+            assert not (packed.splits[s]["q_words"] == 1).any()
+
+    def test_vocab_chars_rows_match_per_token_chars(self, packed_synth):
+        """Every packed token's chars must equal vocab_chars[word] — the premise
+        that makes the vocab-table gather bit-compatible with per-token embed."""
+        vc = packed_synth.shared.vocab_chars
+        for s in ("train", "val", "test"):
+            w = packed_synth.splits[s]["q_words"]
+            c = packed_synth.splits[s]["q_chars"]
+            m = packed_synth.splits[s]["q_mask"]
+            np.testing.assert_array_equal(c[m], vc[w[m]])
+
+
+class TestPackCompaction:
+    """Pack-time compaction: LSTM time masks must be contiguous prefixes
+    (ADVICE round 1: the Pallas scan derives masking from lengths)."""
+
+    def test_missing_photo_and_untitled_mid_album(self, tmp_path):
+        import dataclasses
+
+        from fvta_memexqa_tpu.data import load_pack, pack
+        from tests.conftest import small_data_config
+
+        qas, albums, feats, test_ids, glove = make_synthetic(seed=0)
+        a = albums["album0"]
+        dropped = a.photo_ids[1]
+        del feats[dropped]                       # mid-album photo without features
+        titles = list(a.photo_titles)
+        titles[2] = ""                           # untitled photo between titled ones
+        albums["album0"] = dataclasses.replace(a, photo_titles=tuple(titles))
+        out = str(tmp_path / "pack")
+        pack(qas, albums, feats, test_ids, glove, out, small_data_config(), seed=0)
+        packed = load_pack(out)
+        sh = packed.shared
+
+        # album0 is row 1 (sorted used-album order)
+        pm = sh.album_photo_mask[1]
+        assert pm.tolist() == [True, True, True, False]  # 3 kept, compacted front
+        # temporal order preserved: kept photos are ids 0, 2, 3
+        kept_ids = [a.photo_ids[0], a.photo_ids[2], a.photo_ids[3]]
+        for slot, pid in enumerate(kept_ids):
+            np.testing.assert_allclose(
+                sh.photo_feats[sh.album_photo_idx[1, slot]], feats[pid], rtol=1e-6)
+        # title time axis: kept titles are (t0, "", t3) → 2 titled slots, front
+        tmask = sh.photo_title_mask[1].any(-1)
+        assert tmask.tolist() == [True, True, False, False]
+
+    def test_all_masks_are_prefixes(self, packed_synth):
+        def prefix(m):
+            m2 = m.reshape(-1, m.shape[-1])
+            lens = m2.sum(-1)
+            return np.array_equal(m2, np.arange(m2.shape[-1])[None] < lens[:, None])
+
+        sh = packed_synth.shared
+        assert prefix(sh.album_photo_mask)
+        assert prefix(sh.photo_title_mask.any(-1))
+        assert prefix(sh.album_text_mask)
+        for s in ("train", "val", "test"):
+            assert prefix(packed_synth.splits[s]["q_mask"])
+            assert prefix(packed_synth.splits[s]["choice_mask"])
+            assert prefix(packed_synth.splits[s]["album_mask"])
+
+
 class TestPipeline:
     def test_batches_cover_all_examples_once(self, packed_synth):
         ds = Dataset(packed_synth, "train")

@@ -139,3 +139,37 @@ def test_init_glorot_scale():
         w = np.asarray(w)
         assert np.abs(w).max() <= lim + 1e-6
     assert np.asarray(p.b).sum() == 0.0
+
+
+def test_holey_mask_equals_compacted_prefix():
+    """Semantic justification for pack-time compaction (ADVICE round 1): running
+    the reference scan on a mask with interior holes is equivalent to compacting
+    the valid steps to the front — same final state, same per-valid-step outputs
+    (dynamic_rnn carries state through masked steps without updating). Pack-time
+    compaction therefore changes nothing semantically while guaranteeing the
+    prefix-contiguous masks the Pallas kernel requires."""
+    rng = np.random.default_rng(11)
+    n, t, d, h = 3, 7, 5, 4
+    x = rng.normal(0, 1, (n, t, d)).astype(np.float32)
+    holey = np.array([
+        [1, 0, 1, 1, 0, 1, 0],
+        [1, 1, 0, 0, 1, 0, 0],
+        [0, 1, 0, 1, 0, 0, 1],
+    ], dtype=bool)
+    p = init_lstm_params(jax.random.key(3), d, h)
+
+    # compact valid steps to the front, preserving order
+    x_c = np.zeros_like(x)
+    pref = np.zeros_like(holey)
+    for i in range(n):
+        idx = np.where(holey[i])[0]
+        x_c[i, : len(idx)] = x[i, idx]
+        pref[i, : len(idx)] = True
+
+    out_h, fin_h = lstm_scan_ref(p, jnp.asarray(x), jnp.asarray(holey))
+    out_c, fin_c = lstm_scan_ref(p, jnp.asarray(x_c), jnp.asarray(pref))
+    np.testing.assert_allclose(np.asarray(fin_h), np.asarray(fin_c), rtol=1e-6)
+    for i in range(n):
+        idx = np.where(holey[i])[0]
+        np.testing.assert_allclose(
+            np.asarray(out_h)[i, idx], np.asarray(out_c)[i, : len(idx)], rtol=1e-6)

@@ -107,6 +107,46 @@ class TestModelForward:
             np.asarray(o_tok.logits), np.asarray(o_voc.logits), rtol=1e-5, atol=1e-6
         )
 
+    def test_vocab_embed_matches_per_token_with_oov(self, tmp_path, small_config):
+        """Bit-compat of the two embed paths on a TEST-split batch containing an
+        eval-time OOV word (extended-lexicon id), and the char-CNN signal is
+        actually present: the extended row differs from the bare-UNK row."""
+        import dataclasses
+
+        from fvta_memexqa_tpu.data import Dataset, load_pack, make_synthetic, pack
+        from tests.conftest import small_data_config
+
+        qas, albums, feats, test_ids, glove = make_synthetic(seed=0)
+        ti = next(i for i, q in enumerate(qas) if q.question_id in test_ids)
+        qas[ti] = dataclasses.replace(qas[ti],
+                                      question="where was the xylophoneword shot")
+        out = str(tmp_path / "pack")
+        pack(qas, albums, feats, test_ids, glove, out, small_data_config(), seed=0)
+        packed = load_pack(out)
+        cfg = small_config.replace(data=packed.cfg)
+        shared = SharedTables.from_packed(packed.shared)
+        batch = device_put_batch(next(iter(
+            Dataset(packed, "test").get_batches(packed.num_examples("test")))))
+        mi = assemble(shared, batch)
+        assert (np.asarray(mi.q_words) >= packed.cfg.word_vocab_size).any()
+
+        mc = cfg.model
+        m_tok = FVTAModel(cfg=cfg.replace(
+            model=mc.__class__(**{**mc.__dict__, "vocab_embed": False})))
+        m_voc = FVTAModel(cfg=cfg.replace(
+            model=mc.__class__(**{**mc.__dict__, "vocab_embed": True})))
+        params = m_voc.init(jax.random.key(0), shared, mi, train=False)
+        o_tok = m_tok.apply(params, shared, mi, train=False)
+        o_voc = m_voc.apply(params, shared, mi, train=False)
+        np.testing.assert_allclose(np.asarray(o_tok.logits), np.asarray(o_voc.logits),
+                                   rtol=1e-5, atol=1e-6)
+
+        table = m_voc.apply(params, shared, method=FVTAModel._vocab_table)
+        ext_id = packed.meta["ext_word2idx"]["xylophoneword"]
+        unk_row = np.asarray(table[1])
+        ext_row = np.asarray(table[ext_id])
+        assert not np.allclose(unk_row, ext_row), "char-CNN OOV signal missing"
+
     def test_frozen_glove_not_in_params(self, setup, small_config):
         _, params, _, _ = setup
         names = [jax.tree_util.keystr(k) for k, _ in

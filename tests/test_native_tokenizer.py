@@ -32,7 +32,8 @@ class TestNativeParity:
 
     def test_fuzz_ascii(self):
         rng = np.random.default_rng(0)
-        alphabet = list("abcXYZ019 \t'.,!?-_()&/\\\"")
+        # includes control chars: \x1c-\x1f are \s to Python's re, \x00-\x02 are not
+        alphabet = list("abcXYZ019 \t'.,!?-_()&/\\\"\x1c\x1d\x1e\x1f\x00\x01\x02")
         for _ in range(300):
             n = int(rng.integers(0, 60))
             s = "".join(rng.choice(alphabet) for _ in range(n))
@@ -47,20 +48,26 @@ class TestNativeParity:
         assert tokenize_many(texts) == [tokenize(t) for t in texts]
 
     def test_encoder_matches_python_encode(self):
-        """NativeEncoder (tokenize+vocab+char lookup in C++) vs the Python path."""
-        from fvta_memexqa_tpu.data.pack import _encode_text
+        """BatchEncoder's native path (tokenize+vocab+char lookup in C++) vs the
+        Python path, through the canonical boundary (UNK tokens get PAD chars)."""
+        from fvta_memexqa_tpu.data.pack import BatchEncoder, _encode_text
         from fvta_memexqa_tpu.data.vocab import Vocab
 
         words = ["zebra", "photo", "july", "2007", "don't", "a", "of", ",", "!"]
         vocab = Vocab.build(words * 2, None, dim=4, seed=0)
-        enc = native.NativeEncoder(vocab.word2idx, vocab.char2idx)
+        enc = BatchEncoder(vocab)
+        assert enc._enc is not None, "native encoder should load in this env"
         texts = self.CASES + ["A photo of a ZEBRA, July 2007! Don't miss it."]
-        w_n, c_n, m_n = enc.encode_batch(texts, max_len=12, max_word_len=6)
+        w_n, c_n, m_n = enc.encode(texts, max_len=12, max_word_len=6)
         for i, t in enumerate(texts):
             w_p, c_p, m_p = _encode_text(tokenize(t), vocab, 12, 6)
             np.testing.assert_array_equal(w_n[i], w_p, err_msg=repr(t))
             np.testing.assert_array_equal(c_n[i], c_p, err_msg=repr(t))
             np.testing.assert_array_equal(m_n[i], m_p, err_msg=repr(t))
+        # UNK tokens ("miss", "it" are OOV to this vocab) must carry PAD chars
+        unk_pos = np.asarray(w_n[-1]) == 1
+        assert unk_pos.any()
+        assert (np.asarray(c_n[-1])[unk_pos] == 0).all()
 
     def test_pack_native_vs_python_identical(self, tmp_path, monkeypatch):
         """Whole-pack parity: FVTA_NO_NATIVE pack must equal native pack bit-wise."""
