@@ -70,6 +70,29 @@ def main():
             base = json.load(f)
         vs = best.qa_pairs_per_sec / base["qa_pairs_per_sec"]
 
+    # ---- FLOP / MFU accounting (see bench_lib.step_cost; BASELINE.md) --------
+    from fvta_memexqa_tpu.bench_lib import device_peaks, step_cost
+
+    mfu = train_mfu = hbm_util = None
+    fwd_cost = step_cost(cfg, best.batch_size)
+    train_cost = step_cost(cfg, 64, train=True)
+    peaks = device_peaks()
+    if peaks is not None:
+        peak_flops, peak_hbm = peaks
+        fwd_step_s = best.batch_size / best.qa_pairs_per_sec
+        train_step_s = 64 / train_qps
+        mfu = fwd_cost["flops"] / (fwd_step_s * peak_flops)
+        train_mfu = train_cost["flops"] / (train_step_s * peak_flops)
+        # NB: XLA's "bytes accessed" counts HLO buffer accesses, an UPPER BOUND
+        # on physical HBM traffic (fused intermediates stay in VMEM), so this
+        # ratio can exceed 1. See BASELINE.md "MFU accounting".
+        hbm_util = fwd_cost["bytes"] / (fwd_step_s * peak_hbm)
+        print(f"fwd bs={best.batch_size}: {fwd_cost['flops']/1e9:.2f} GFLOP/step, "
+              f"{fwd_cost['bytes']/1e6:.1f} MB/step -> MFU {mfu*100:.1f}%, "
+              f"HBM(upper) {hbm_util*100:.1f}% | train bs=64: "
+              f"{train_cost['flops']/1e9:.2f} GFLOP/step -> MFU {train_mfu*100:.1f}%",
+              file=sys.stderr)
+
     for r in results:
         print(
             f"bs={r.batch_size}: {r.qa_pairs_per_sec:.1f} qa/s, "
@@ -85,6 +108,11 @@ def main():
         "p50_latency_ms_b8": round(b8.p50_latency_ms, 3),
         "cached_qa_pairs_per_sec": round(cached_qps, 2),
         "train_qa_pairs_per_sec": round(train_qps, 2),
+        "model_flops": fwd_cost["flops"],
+        "train_flops": train_cost["flops"],
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "train_mfu": round(train_mfu, 4) if train_mfu is not None else None,
+        "hbm_util_xla_upper": round(hbm_util, 4) if hbm_util is not None else None,
         "platform": platform,
         "pallas": cfg.model.use_pallas,
     }))
