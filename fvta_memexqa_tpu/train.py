@@ -24,6 +24,29 @@ from fvta_memexqa_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from fvta_memexqa_tpu.utils.metrics import MetricsLogger, Timer
 
 
+def maybe_enable_debug_nans() -> bool:
+    """FVTA_DEBUG_NANS=1 → jax_debug_nans (SURVEY.md section 5 race/sanitizer row:
+    the determinism/debug tooling the reference lacks). Under the flag every jitted
+    computation re-runs op-by-op on a NaN and raises at the producing op; the train
+    loop additionally hard-fails on a non-finite loss at each log boundary."""
+    import os
+
+    on = os.environ.get("FVTA_DEBUG_NANS", "") not in ("", "0", "false")
+    if on:
+        jax.config.update("jax_debug_nans", True)
+    return on
+
+
+def check_finite_loss(loss: float, step: int) -> None:
+    """Raise with context if the training loss went non-finite."""
+    import math
+
+    if not math.isfinite(loss):
+        raise FloatingPointError(
+            f"non-finite training loss {loss!r} at step {step}; rerun with "
+            "FVTA_DEBUG_NANS=1 to locate the producing op")
+
+
 @flax.struct.dataclass
 class TrainState:
     params: dict
@@ -143,6 +166,7 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
 
     Returns {"best_val_acc", "steps", "state"} for programmatic use (tests/serving).
     """
+    maybe_enable_debug_nans()
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
     train_ds = Dataset(packed, "train")
@@ -207,6 +231,7 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
                 # host-side batch prep and device compute overlap (and per-step
                 # tunnel round-trips are avoided on this box).
                 jax.block_until_ready(m["loss"])
+                check_finite_loss(float(m["loss"]), step)
                 timer.stop()
                 window = timer.samples[-1]
                 n_steps = min(t.log_period, step)

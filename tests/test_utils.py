@@ -65,3 +65,25 @@ def test_timer_p50():
     assert t.p50() >= 0.0 and len(t.samples) == 5
     t.reset()
     assert t.samples == [] and t.p50() == 0.0
+
+
+def test_debug_nans_flag(monkeypatch):
+    """FVTA_DEBUG_NANS toggles jax_debug_nans (SURVEY.md section 5 debug tooling)."""
+    import jax
+
+    from fvta_memexqa_tpu.train import check_finite_loss, maybe_enable_debug_nans
+
+    monkeypatch.delenv("FVTA_DEBUG_NANS", raising=False)
+    assert maybe_enable_debug_nans() is False
+    monkeypatch.setenv("FVTA_DEBUG_NANS", "1")
+    try:
+        assert maybe_enable_debug_nans() is True
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+    check_finite_loss(1.25, step=3)  # fine
+    with pytest.raises(FloatingPointError, match="step 7"):
+        check_finite_loss(float("nan"), step=7)
+    with pytest.raises(FloatingPointError):
+        check_finite_loss(float("inf"), step=8)
