@@ -184,9 +184,15 @@ class FVTAModel(nn.Module):
         return h_ctx, ctx_mask
 
     def answer(self, shared: SharedTables, mi: ModelInputs, h_ctx: jnp.ndarray,
-               ctx_mask: jnp.ndarray, train: bool = False) -> ModelOutput:
+               ctx_mask: jnp.ndarray, train: bool = False,
+               cp_attention=None) -> ModelOutput:
         """Query-side: question/choice encode + FVTA attention over (possibly
-        cached) context states + 4-way scorer."""
+        cached) context states + 4-way scorer.
+
+        cp_attention: optional shard_map-wrapped context-parallel attention
+        (parallel/cp.make_cp_attention) for configs whose context time axis is
+        sharded over the mesh's "ctx" axis — numerically identical to the local
+        path (tested at MemexQA scale in tests/test_parallel.py)."""
         d, m = self.cfg.data, self.cfg.model
         ft = shared.word_emb
         vt = self._vocab_table(shared) if m.vocab_embed else None
@@ -206,7 +212,9 @@ class FVTAModel(nn.Module):
         elif m.similarity == "bilinear":
             sim_params = {"w_bilinear": self.w_bilinear}
 
-        if m.use_pallas and m.attention == "fvta":
+        if cp_attention is not None:
+            attn = cp_attention(h_ctx, ctx_mask, h_q, mi.q_mask, sim_params)
+        elif m.use_pallas and m.attention == "fvta":
             from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
 
             attn = fvta_attention_pallas(
@@ -233,6 +241,6 @@ class FVTAModel(nn.Module):
         return ModelOutput(logits=logits, attention=attn)
 
     def __call__(self, shared: SharedTables, mi: ModelInputs,
-                 train: bool = False) -> ModelOutput:
+                 train: bool = False, cp_attention=None) -> ModelOutput:
         h_ctx, ctx_mask = self.encode_context(shared, mi, train)
-        return self.answer(shared, mi, h_ctx, ctx_mask, train)
+        return self.answer(shared, mi, h_ctx, ctx_mask, train, cp_attention)

