@@ -93,6 +93,18 @@ def main():
               f"{train_cost['flops']/1e9:.2f} GFLOP/step -> MFU {train_mfu*100:.1f}%",
               file=sys.stderr)
 
+    # ---- long-T video path (BASELINE config 4): XLA vs fused kernel ----------
+    from fvta_memexqa_tpu.bench_lib import bench_video
+
+    video = {}
+    for t_frames in (1024, 4096):
+        for pallas in (False, True):
+            if pallas and platform != "tpu":
+                continue
+            key = f"video_fps_t{t_frames}_{'pallas' if pallas else 'xla'}"
+            video[key] = round(bench_video(t_frames, use_pallas=pallas), 1)
+            print(f"{key}: {video[key]:.0f} frames/s", file=sys.stderr)
+
     for r in results:
         print(
             f"bs={r.batch_size}: {r.qa_pairs_per_sec:.1f} qa/s, "
@@ -115,6 +127,7 @@ def main():
         "hbm_util_xla_upper": round(hbm_util, 4) if hbm_util is not None else None,
         "platform": platform,
         "pallas": cfg.model.use_pallas,
+        **video,
     }))
 
 

@@ -353,6 +353,57 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
     return batch_size / per, cache_s
 
 
+def bench_video(t_frames: int, use_pallas: bool, batch_size: int = 8,
+                k_small: int = 5, k_large: int = 30, reps: int = 3,
+                seed: int = 0) -> float:
+    """Long-T video-QA forward throughput in frames/sec (BASELINE.json config 4).
+
+    Single chip, dilated-conv temporal encoder (parallel over T), FVTA attention
+    either via XLA einsum+softmax or the fused Pallas kernel (use_pallas) — the
+    head-to-head that shows where streaming over T starts winning. Same
+    dependency-chained slope methodology as bench_inference."""
+    import time
+    from functools import partial
+
+    from fvta_memexqa_tpu.models.video import VideoFVTAModel, make_synthetic_video
+
+    cfg = realistic_config(use_pallas=use_pallas)
+    model = VideoFVTAModel(cfg=cfg, num_choices=5)
+    shared = synth_shared(cfg, num_albums=2, num_photos=2, seed=seed)
+    vi, _ = make_synthetic_video(cfg, num_videos=batch_size, num_frames=t_frames,
+                                 seed=seed)
+
+    params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+        jax.random.key(0))
+
+    @partial(jax.jit, static_argnums=3)
+    def loop(p, sh, v, k):
+        def body(i, carry):
+            acc, fb = carry
+            v2 = v.replace(q_words=v.q_words + fb, choice_words=v.choice_words + fb,
+                           frame_feats=v.frame_feats + fb.astype(jnp.float32))
+            sh2 = sh.replace(vocab_chars=sh.vocab_chars + fb)
+            s = model.apply(p, sh2, v2, train=False).logits.sum()
+            return acc + s, jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.int32(0)))[0]
+
+    np.asarray(loop(params, shared, vi, k_small))
+    np.asarray(loop(params, shared, vi, k_large))
+    slopes = []
+    for _ in range(reps):
+        np.asarray(loop(params, shared, vi, k_small))
+        t0 = time.perf_counter()
+        np.asarray(loop(params, shared, vi, k_small))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(loop(params, shared, vi, k_large))
+        d2 = time.perf_counter() - t0
+        slopes.append((d2 - d1) / (k_large - k_small))
+    per = sorted(slopes)[len(slopes) // 2]
+    return batch_size * t_frames / per
+
+
 def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
                     k_large: int = 250, reps: int = 3, seed: int = 0) -> list[BenchResult]:
     model = FVTAModel(cfg=cfg)
