@@ -59,10 +59,13 @@ def main():
     print(f"cached-album inference: {cached_qps:.1f} qa/s "
           f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
 
-    from fvta_memexqa_tpu.bench_lib import bench_train
+    from fvta_memexqa_tpu.bench_lib import bench_train, realistic_config as _rc
 
-    train_qps = bench_train(cfg, batch_size=64)
-    print(f"training (fwd+bwd+adam): {train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
+    # training ships the fused LSTM path on TPU (measured faster; BASELINE.md)
+    train_pallas = platform == "tpu"
+    train_qps = bench_train(_rc(use_pallas=train_pallas), batch_size=64)
+    print(f"training (fwd+bwd+adam, pallas={train_pallas}): "
+          f"{train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
 
     vs = None
     if os.path.exists(BASELINE_PATH):
@@ -127,6 +130,7 @@ def main():
         "hbm_util_xla_upper": round(hbm_util, 4) if hbm_util is not None else None,
         "platform": platform,
         "pallas": cfg.model.use_pallas,
+        "train_pallas": train_pallas,
         **video,
     }))
 

@@ -367,7 +367,9 @@ def bench_video(t_frames: int, use_pallas: bool, batch_size: int = 8,
 
     from fvta_memexqa_tpu.models.video import VideoFVTAModel, make_synthetic_video
 
-    cfg = realistic_config(use_pallas=use_pallas)
+    cfg = realistic_config()
+    cfg = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "pallas_attention": use_pallas}))
     model = VideoFVTAModel(cfg=cfg, num_choices=5)
     shared = synth_shared(cfg, num_albums=2, num_photos=2, seed=seed)
     vi, _ = make_synthetic_video(cfg, num_videos=batch_size, num_frames=t_frames,

@@ -115,6 +115,15 @@ def cmd_train(argv):
 
     packed = load_pack(args.packdir)
     cfg = _config_from_args(args).replace(data=packed.cfg)
+    if args.use_pallas is None:
+        # fused LSTM kernels win the TRAIN step (~+15% measured, BASELINE.md
+        # "Fused LSTM v2") but interpret-mode on CPU is slow — default by backend
+        import dataclasses as _dc
+
+        import jax as _jax
+
+        cfg = cfg.replace(model=_dc.replace(
+            cfg.model, use_pallas=_jax.default_backend() == "tpu"))
     os.makedirs(args.rundir, exist_ok=True)
     res = train(cfg, packed, args.rundir, num_steps=args.num_steps,
                 metrics_path=os.path.join(args.rundir, "metrics.jsonl"),

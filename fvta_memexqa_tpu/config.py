@@ -79,7 +79,9 @@ class ModelConfig:
     keep_prob: float = 0.9       # dropout keep probability (reference-style input dropout)
     attention: str = "fvta"      # fvta | flat | none  (ablation registry, SURVEY.md B-config 3)
     similarity: str = "trilinear"  # trilinear | dot | bilinear  (correlation kernel)
-    use_pallas: bool = False     # swap Pallas fused kernels in behind this flag
+    use_pallas: bool = False     # fused Pallas LSTM scans (ops/lstm_fused.py)
+    pallas_attention: bool = False  # fused FVTA attention kernel (loses to XLA at
+                                 # MemexQA shapes — BASELINE.md; engine for long-T)
     vocab_embed: bool = True     # compute word+char+highway embedding once per VOCAB
                                  # word and gather per token (identical math, ~5x less
                                  # embed compute); False = per-token (parity testing)

@@ -41,22 +41,39 @@ class ModelOutput(NamedTuple):
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM with TF1 numerics; Pallas fused scan behind a flag."""
+    """Bidirectional LSTM with TF1 numerics; Pallas fused scan behind a flag.
 
+    fin_only=True is a contract promise that the caller consumes ONLY the final
+    state: the fused path then runs the no-output-writes kernel
+    (ops/lstm_fused.bilstm_fused_final) and returns (None, fin). in_dim is the
+    static input feature width (params are created in setup so sibling encoders
+    can be batched into one grouped kernel launch via .pair())."""
+
+    in_dim: int
     hidden_dim: int
     forget_bias: float = 1.0
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
-        d = x.shape[-1]
-        p_fw = self.param("fw", lambda k: init_lstm_params(k, d, self.hidden_dim))
-        p_bw = self.param("bw", lambda k: init_lstm_params(k, d, self.hidden_dim))
-        if self.use_pallas:
-            from fvta_memexqa_tpu.ops.lstm_pallas import bilstm_pallas
+    def setup(self):
+        self.p_fw = self.param(
+            "fw", lambda k: init_lstm_params(k, self.in_dim, self.hidden_dim))
+        self.p_bw = self.param(
+            "bw", lambda k: init_lstm_params(k, self.in_dim, self.hidden_dim))
 
-            return bilstm_pallas(p_fw, p_bw, x, mask, self.forget_bias)
-        return bilstm_ref(p_fw, p_bw, x, mask, self.forget_bias)
+    def pair(self):
+        """Raw (fw, bw) params, for grouped multi-encoder launches."""
+        return self.p_fw, self.p_bw
+
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, fin_only: bool = False):
+        if self.use_pallas:
+            from fvta_memexqa_tpu.ops.lstm_fused import bilstm_fused, bilstm_fused_final
+
+            if fin_only:
+                return None, bilstm_fused_final(self.p_fw, self.p_bw, x, mask,
+                                                self.forget_bias)
+            return bilstm_fused(self.p_fw, self.p_bw, x, mask, self.forget_bias)
+        out, fin = bilstm_ref(self.p_fw, self.p_bw, x, mask, self.forget_bias)
+        return (None, fin) if fin_only else (out, fin)
 
 
 class FVTAModel(nn.Module):
@@ -78,8 +95,15 @@ class FVTAModel(nn.Module):
         self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
         self.photo_proj = nn.Dense(d.word_emb_dim + m.char_cnn_filters, name="photo_proj")
         kw = dict(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias, use_pallas=m.use_pallas)
-        self.enc_word = BiLSTM(name="enc_word", **kw)
-        self.enc_time = [BiLSTM(name=f"enc_{mod}", **kw) for mod in MODALITIES]
+        demb = d.word_emb_dim + m.char_cnn_filters
+        self.enc_word = BiLSTM(name="enc_word", in_dim=demb, **kw)
+        # photo/photo_title/album-text time encoders; photo_title consumes the
+        # word-level summary states, hence in_dim = 2H
+        self.enc_time = [
+            BiLSTM(name=f"enc_{mod}",
+                   in_dim=(2 * m.hidden_dim if mod == "photo_title" else demb), **kw)
+            for mod in MODALITIES
+        ]
         if m.similarity == "trilinear":
             h2 = 2 * m.hidden_dim
             self.w_x = self.param("sim_w_x", nn.initializers.normal(0.1), (h2,))
@@ -118,11 +142,13 @@ class FVTAModel(nn.Module):
             x = self.highway(jnp.concatenate([w, c], axis=-1))
         return self.dropout(x, deterministic=not train)
 
-    def _encode_words(self, enc, x, mask):
+    def _encode_words(self, enc, x, mask, fin_only: bool = False):
         """Flatten leading dims, run a word-level bi-LSTM, restore leading dims."""
         lead = x.shape[:-2]
-        out, fin = enc(x.reshape((-1,) + x.shape[-2:]), mask.reshape((-1, mask.shape[-1])))
-        return out.reshape(lead + out.shape[1:]), fin.reshape(lead + fin.shape[1:])
+        out, fin = enc(x.reshape((-1,) + x.shape[-2:]),
+                       mask.reshape((-1, mask.shape[-1])), fin_only=fin_only)
+        return (out.reshape(lead + out.shape[1:]) if out is not None else None,
+                fin.reshape(lead + fin.shape[1:]))
 
     # ---- forward -------------------------------------------------------------
 
@@ -140,9 +166,10 @@ class FVTAModel(nn.Module):
         h2 = 2 * m.hidden_dim
         vt = self._vocab_table(shared) if m.vocab_embed else None
 
-        # Photo titles: per-photo summary [N, A, P, 2H]
+        # Photo titles: per-photo summary [N, A, P, 2H] (final states only)
         pt_emb = self._embed_text(mi.photo_title_words, mi.photo_title_chars, ft, train, vt)
-        _, pt_sum = self._encode_words(self.enc_word, pt_emb, mi.photo_title_mask)
+        _, pt_sum = self._encode_words(self.enc_word, pt_emb, mi.photo_title_mask,
+                                       fin_only=True)
 
         # ---- per-modality time encoders (context tensor assembly) ----
         A, P = d.max_albums, d.max_photos
@@ -155,26 +182,30 @@ class FVTAModel(nn.Module):
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
             return x, mask
 
-        seqs, masks = [], []
-
+        # One (x, mask) per modality, MODALITIES order; all share batch n*A.
         photo_in = self.dropout(self.photo_proj(mi.photo_feats), deterministic=not train)
-        photo_mask = mi.photo_mask.reshape(n * A, P)
-        out, _ = self.enc_time[0](photo_in.reshape(n * A, P, -1), photo_mask)
-        seqs.append(pad_t(out, photo_mask)[0])
-        masks.append(pad_t(out, photo_mask)[1])
-
-        pt_time_mask = mi.photo_title_mask.any(axis=-1).reshape(n * A, P)
-        out, _ = self.enc_time[1](pt_sum.reshape(n * A, P, h2), pt_time_mask)
-        x_p, m_p = pad_t(out, pt_time_mask)
-        seqs.append(x_p)
-        masks.append(m_p)
-
         at_emb = self._embed_text(mi.album_text_words, mi.album_text_chars, ft, train, vt)
+        enc_in = [
+            (photo_in.reshape(n * A, P, -1), mi.photo_mask.reshape(n * A, P)),
+            (pt_sum.reshape(n * A, P, h2),
+             mi.photo_title_mask.any(axis=-1).reshape(n * A, P)),
+        ]
         for fi in range(4):  # album_title, album_desc, when, where
-            x_f = at_emb[:, :, fi].reshape(n * A, d.max_album_text_len, -1)
-            m_f = mi.album_text_mask[:, :, fi].reshape(n * A, d.max_album_text_len)
-            out, _ = self.enc_time[2 + fi](x_f, m_f)
-            x_p, m_p = pad_t(out, m_f)
+            enc_in.append((
+                at_emb[:, :, fi].reshape(n * A, d.max_album_text_len, -1),
+                mi.album_text_mask[:, :, fi].reshape(n * A, d.max_album_text_len),
+            ))
+
+        # Per-encoder launches, fused (ops/lstm_fused) or XLA per cfg.use_pallas.
+        # Measured and deliberately NOT the grouped one-launch variant
+        # (bilstm_fused_grouped): at flagship shapes each modality's batch is
+        # only N*A rows, so the grouped grid degenerates to tiny cells and loses
+        # to per-encoder launches — see BASELINE.md "Fused LSTM v2".
+        outs = [self.enc_time[k](x, mk)[0] for k, (x, mk) in enumerate(enc_in)]
+
+        seqs, masks = [], []
+        for out, (_, mk) in zip(outs, enc_in):
+            x_p, m_p = pad_t(out, mk)
             seqs.append(x_p)
             masks.append(m_p)
 
@@ -201,9 +232,10 @@ class FVTAModel(nn.Module):
         q_emb = self._embed_text(mi.q_words, mi.q_chars, ft, train, vt)
         h_q, _ = self.enc_word(q_emb, mi.q_mask)
 
-        # Choices: summary states [N, 4, 2H]
+        # Choices: summary states [N, 4, 2H] (final states only)
         a_emb = self._embed_text(mi.choice_words, mi.choice_chars, ft, train, vt)
-        _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask)
+        _, a_sum = self._encode_words(self.enc_word, a_emb, mi.choice_mask,
+                                      fin_only=True)
 
         # ---- FVTA core ----
         sim_params = {}
@@ -214,7 +246,7 @@ class FVTAModel(nn.Module):
 
         if cp_attention is not None:
             attn = cp_attention(h_ctx, ctx_mask, h_q, mi.q_mask, sim_params)
-        elif m.use_pallas and m.attention == "fvta":
+        elif m.pallas_attention and m.attention == "fvta":
             from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
 
             attn = fvta_attention_pallas(

@@ -89,13 +89,13 @@ class VideoFVTAModel(nn.Module):
         )
         self.highway = Highway(num_layers=2)
         self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
+        demb = d.word_emb_dim + m.char_cnn_filters
         self.enc_word = BiLSTM(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias,
-                               use_pallas=m.use_pallas, name="enc_word")
+                               use_pallas=m.use_pallas, in_dim=demb, name="enc_word")
         if self.temporal_encoder == "bilstm":
-            self.frame_proj = nn.Dense(d.word_emb_dim + m.char_cnn_filters,
-                                       name="frame_proj")
+            self.frame_proj = nn.Dense(demb, name="frame_proj")
             self.enc_frames = BiLSTM(hidden_dim=m.hidden_dim,
-                                     forget_bias=m.forget_bias,
+                                     forget_bias=m.forget_bias, in_dim=demb,
                                      use_pallas=m.use_pallas, name="enc_frames")
         else:
             self.enc_frames = DilatedConvEncoder(hidden_dim=m.hidden_dim,
@@ -148,7 +148,7 @@ class VideoFVTAModel(nn.Module):
             sim_params = {"w_x": self.w_x, "w_y": self.w_y, "w_xy": self.w_xy}
         if cp_attention is not None:
             attn = cp_attention(h_ctx, ctx_mask, h_q, vi.q_mask, sim_params)
-        elif m.use_pallas and m.attention == "fvta":
+        elif m.pallas_attention and m.attention == "fvta":
             from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
 
             attn = fvta_attention_pallas(h_ctx, ctx_mask, h_q, vi.q_mask,
