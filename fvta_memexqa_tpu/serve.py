@@ -20,6 +20,7 @@ CLI: python -m fvta_memexqa_tpu.cli serve <packdir> <rundir> [--port 8777]
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -102,16 +103,26 @@ def _single_album_inputs(cfg: Config, vocab: Vocab, album: Album,
 
 
 class AlbumStore:
-    """Thread-safe cache: album_id → encoded context states resident on device."""
+    """Thread-safe LRU cache: album_id → encoded context states on device.
+
+    Hardening (round-1 verdict item 7): entries are evicted least-recently-USED
+    first once the byte budget is exceeded (queries touch entries), and the
+    whole cache round-trips to disk (save/load) so a restarted server skips
+    re-encoding its albums."""
 
     def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                 vocab: Vocab):
+                 vocab: Vocab, max_bytes: int | None = None):
+        from collections import OrderedDict
+
         self.cfg = cfg
         self.model = model
         self.params = params
         self.shared = shared
         self.vocab = vocab
-        self._store: dict[str, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self.max_bytes = max_bytes
+        self.evictions = 0
+        self._bytes = 0
+        self._store: "OrderedDict[str, tuple[jnp.ndarray, jnp.ndarray]]" = OrderedDict()
         self._lock = threading.Lock()
         a1_cfg = cfg.replace(data=cfg.data.__class__(
             **{**cfg.data.__dict__, "max_albums": 1}))
@@ -124,20 +135,40 @@ class AlbumStore:
 
         self._encode = _encode
 
+    @staticmethod
+    def _entry_bytes(h, m) -> int:
+        return int(h.size * h.dtype.itemsize + m.size * m.dtype.itemsize)
+
+    def _put(self, album_id: str, h, m) -> None:
+        with self._lock:
+            if album_id in self._store:
+                old = self._store.pop(album_id)
+                self._bytes -= self._entry_bytes(*old)
+            self._store[album_id] = (h, m)
+            self._bytes += self._entry_bytes(h, m)
+            while (self.max_bytes is not None and self._bytes > self.max_bytes
+                   and len(self._store) > 1):
+                _, (eh, em) = self._store.popitem(last=False)   # LRU out
+                self._bytes -= self._entry_bytes(eh, em)
+                self.evictions += 1
+
     def ingest(self, album: Album, photo_feats: dict[str, np.ndarray]) -> None:
         mi = jax.tree.map(jnp.asarray,
                           _single_album_inputs(self.cfg, self.vocab, album, photo_feats))
         h, m = self._encode(self.params, self.shared, mi)
-        with self._lock:
-            self._store[album.album_id] = (h[0], m[0])   # [6, T, 2H], [6, T]
+        self._put(album.album_id, h[0], m[0])        # [6, T, 2H], [6, T]
 
     def get_stacked(self, album_ids: list[str]):
-        """Cached encodings for album_ids, padded to max_albums: ([S, T, 2H], [S, T])."""
+        """Cached encodings for album_ids, padded to max_albums: ([S, T, 2H], [S, T]).
+        Touches the entries (LRU recency)."""
         d = self.cfg.data
         n_mod = len(MODALITIES)
         with self._lock:
-            entries = [self._store[a] for a in album_ids[: d.max_albums]
-                       if a in self._store]
+            entries = []
+            for a in album_ids[: d.max_albums]:
+                if a in self._store:
+                    self._store.move_to_end(a)
+                    entries.append(self._store[a])
         t, h2 = d.max_context_time, 2 * self.cfg.model.hidden_dim
         h = jnp.zeros((d.max_albums * n_mod, t, h2), jnp.float32)
         m = jnp.zeros((d.max_albums * n_mod, t), bool)
@@ -146,10 +177,46 @@ class AlbumStore:
             m = m.at[i * n_mod : (i + 1) * n_mod].set(em)
         return h, m, len(entries)
 
+    # ---- persistence (orbax) ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist all cached encodings (orbax StandardSave)."""
+        import orbax.checkpoint as ocp
+
+        with self._lock:
+            ids = list(self._store.keys())
+            tree = {"h": [self._store[a][0] for a in ids],
+                    "m": [self._store[a][1] for a in ids]}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), tree, force=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
+        with open(os.path.join(path, "album_ids.json"), "w") as f:
+            json.dump(ids, f)
+
+    def load(self, path: str) -> int:
+        """Restore a saved cache; returns the number of albums loaded."""
+        import orbax.checkpoint as ocp
+
+        with open(os.path.join(path, "album_ids.json")) as f:
+            ids = json.load(f)
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(os.path.abspath(path))
+        ckptr.close()
+        for a, h, m in zip(ids, tree["h"], tree["m"]):
+            self._put(a, jnp.asarray(h), jnp.asarray(m.astype(bool)
+                                                     if hasattr(m, "astype") else m))
+        return len(ids)
+
     @property
     def num_albums(self) -> int:
         with self._lock:
             return len(self._store)
+
+    @property
+    def cache_bytes(self) -> int:
+        with self._lock:
+            return self._bytes
 
 
 @dataclass
@@ -337,8 +404,10 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
         def do_GET(self):
             if self.path == "/stats":
-                self._json(200, {"albums": store.num_albums, **engine.stats,
-                                 **engine.latency_stats()})
+                self._json(200, {"albums": store.num_albums,
+                                 "cache_bytes": store.cache_bytes,
+                                 "evictions": store.evictions,
+                                 **engine.stats, **engine.latency_stats()})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -364,7 +433,10 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                                      "albums": store.num_albums})
                 else:
                     self._json(404, {"error": "unknown path"})
-            except (KeyError, ValueError, TimeoutError) as e:
+            except TimeoutError as e:
+                # overload, not a client error: retryable 503
+                self._json(503, {"error": repr(e)})
+            except (KeyError, ValueError) as e:
                 self._json(400, {"error": repr(e)})
 
     httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
@@ -374,8 +446,12 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
 
 def build_engine(packdir: str, rundir: str, load_best: bool = True,
-                 batch_size: int = 8):
-    """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store)."""
+                 batch_size: int = 8, max_cache_bytes: int | None = None,
+                 cache_dir: str | None = None):
+    """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
+
+    max_cache_bytes bounds the album-encoding cache (LRU eviction); cache_dir,
+    if it holds a previously saved cache, is restored instead of re-encoding."""
     from fvta_memexqa_tpu.checkpoint import CheckpointManager
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data.pack import load_pack
@@ -394,7 +470,11 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
     ckpt = CheckpointManager(rundir, cfg)
     state = ckpt.restore(state, best=load_best)
     vocab = vocab_view(packed.meta)
-    store = AlbumStore(cfg, model, state.params, shared, vocab)
+    store = AlbumStore(cfg, model, state.params, shared, vocab,
+                       max_bytes=max_cache_bytes)
+    if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
+        n = store.load(cache_dir)
+        print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
     engine = QAEngine(store, batch_size=batch_size)
     return engine, store, packed
 
@@ -408,14 +488,20 @@ def main(argv):
     p.add_argument("--port", type=int, default=8777)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--load-latest", action="store_true")
+    p.add_argument("--max-cache-mb", type=int, default=None,
+                   help="byte budget for the album-encoding cache (LRU eviction)")
+    p.add_argument("--cache-dir", default=None,
+                   help="persist/restore the album-encoding cache here")
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
     args = p.parse_args(argv)
 
-    engine, store, packed = build_engine(args.packdir, args.rundir,
-                                         load_best=not args.load_latest,
-                                         batch_size=args.batch_size)
+    engine, store, packed = build_engine(
+        args.packdir, args.rundir, load_best=not args.load_latest,
+        batch_size=args.batch_size,
+        max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
+        cache_dir=args.cache_dir)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info
@@ -425,4 +511,7 @@ def main(argv):
         for a in albums.values():
             store.ingest(a, feats)
         print(f"pre-ingested {store.num_albums} albums", flush=True)
+    if args.cache_dir:
+        store.save(args.cache_dir)
+        print(f"saved album cache to {args.cache_dir}", flush=True)
     serve_http(engine, store, feats, port=args.port)

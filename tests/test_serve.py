@@ -208,3 +208,123 @@ class TestHTTP:
             raised = e.code == 400
         assert raised
         engine.close()
+
+
+class TestHardening:
+    """Round-1 verdict item 7: LRU eviction, 503 on timeout, cache persistence,
+    load test with a latency bound."""
+
+    def test_lru_eviction_respects_byte_budget(self, served, small_config):
+        model, params, shared, store, albums, feats = served
+        one = AlbumStore._entry_bytes(*next(iter(store._store.values())))
+        budget = int(one * 2.5)  # room for 2 entries
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        max_bytes=budget)
+        order = sorted(albums)
+        for aid in order[:3]:
+            s2.ingest(albums[aid], feats)
+        assert s2.num_albums == 2 and s2.evictions == 1
+        assert s2.cache_bytes <= budget
+        # oldest (order[0]) was evicted
+        _, _, found = s2.get_stacked([order[0]])
+        assert found == 0
+        # touching order[1] makes order[2] the LRU victim of the next ingest
+        s2.get_stacked([order[1]])
+        s2.ingest(albums[order[3]], feats)
+        assert {*s2._store} == {order[1], order[3]}
+
+    def test_reingest_same_album_does_not_grow(self, served, small_config):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab)
+        a = albums["album0"]
+        s2.ingest(a, feats)
+        b1 = s2.cache_bytes
+        s2.ingest(a, feats)
+        assert s2.cache_bytes == b1 and s2.num_albums == 1
+
+    def test_cache_persistence_roundtrip(self, served, small_config, tmp_path):
+        model, params, shared, store, albums, feats = served
+        path = str(tmp_path / "album_cache")
+        store.save(path)
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab)
+        n = s2.load(path)
+        assert n == store.num_albums
+        for aid in albums:
+            h1, m1, k1 = store.get_stacked([aid])
+            h2, m2, k2 = s2.get_stacked([aid])
+            assert k1 == k2 == 1
+            np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_timeout_raises_and_maps_to_503(self, served):
+        import socket
+        import time
+        import urllib.error
+
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=2, batch_window_ms=1.0)
+        engine._stop.set()              # freeze the worker -> asks time out
+        engine._worker.join(timeout=5)
+        try:
+            with pytest.raises(TimeoutError):
+                engine.ask("q ?", ["a", "b", "c", "d"], [], timeout=0.2)
+
+            from fvta_memexqa_tpu import serve as serve_mod
+
+            s = socket.socket()
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+            s.close()
+            orig_ask = engine.ask
+            engine.ask = lambda *a, **k: orig_ask(*a, timeout=0.2)
+            th = threading.Thread(target=serve_mod.serve_http,
+                                  args=(engine, store, feats, port), daemon=True)
+            th.start()
+            time.sleep(0.3)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/ask",
+                data=json.dumps({"question": "q", "choices": ["a", "b", "c", "d"],
+                                 "album_ids": []}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                code = 200
+            except urllib.error.HTTPError as e:
+                code = e.code
+            assert code == 503
+        finally:
+            engine.close()
+
+    def test_load_p95_under_bound(self, served):
+        """N threads x M asks each; p95 stays under a (generous, CPU) bound and
+        every request succeeds."""
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=8, batch_window_ms=3.0)
+        n_threads, m_asks = 8, 5
+        errors = []
+
+        def worker(i):
+            for j in range(m_asks):
+                aid = f"album{(i + j) % 3}"
+                a = albums[aid]
+                try:
+                    r = engine.ask(f"what year was {a.title} ?",
+                                   ["2007", "2009", "2011", "2013"], [aid],
+                                   timeout=60.0)
+                    assert "answer" in r
+                except Exception as e:  # noqa: BLE001 - collected for the assert
+                    errors.append(repr(e))
+
+        try:
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(n_threads)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not errors, errors
+            assert engine.stats["questions"] == n_threads * m_asks
+            stats = engine.latency_stats()
+            assert stats["p95_ms"] is not None and stats["p95_ms"] < 30_000
+        finally:
+            engine.close()
