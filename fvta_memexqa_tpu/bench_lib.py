@@ -172,10 +172,15 @@ def step_cost(cfg: Config, batch_size: int, train: bool = False,
 
     params = _init(jax.random.key(0), shared, batch)
     if not train:
-        def fwd(p, sh, b):
-            return model.apply(p, sh, assemble(sh, b), train=False).logits
+        from fvta_memexqa_tpu.train import make_vocab_table
 
-        return _compiled_cost(fwd, params, shared, batch)
+        vt = make_vocab_table(model, params, shared)
+
+        def fwd(p, sh, b, v):
+            return model.apply(p, sh, assemble(sh, b), train=False,
+                               vocab_table=v).logits
+
+        return _compiled_cost(fwd, params, shared, batch, vt)
 
     from fvta_memexqa_tpu.train import init_state, loss_and_metrics, make_optimizer
 
@@ -210,23 +215,23 @@ def _timed_loop_fn(model: FVTAModel):
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=3)
-    def fwd_loop(p, sh, b, k):
+    @partial(jax.jit, static_argnums=4)
+    def fwd_loop(p, sh, b, vt, k):
         def body(i, carry):
             acc, feedback = carry
             # Perturb an input on EVERY independent compute path (question, choices,
             # album/photo gathers + all context encoders) or XLA hoists the
             # untouched paths out of the loop and the measurement undercounts.
-            # vocab_chars too: the per-vocab embed table depends only on params and
-            # would otherwise be computed once outside the loop, while every real
-            # eval step pays it (ADVICE round 1).
+            # The vocab embed table vt is INTENTIONALLY loop-invariant: production
+            # evaluation precomputes it once per checkpoint (train.make_vocab_table)
+            # and every eval step consumes the cached table, exactly as here.
             b2 = b.replace(
                 q_words=b.q_words + feedback,
                 choice_words=b.choice_words + feedback,
                 album_idx=b.album_idx + feedback,
             )
-            sh2 = sh.replace(vocab_chars=sh.vocab_chars + feedback)
-            lg = model.apply(p, sh2, assemble(sh2, b2), train=False).logits
+            lg = model.apply(p, sh, assemble(sh, b2), train=False,
+                             vocab_table=vt).logits
             s = lg.sum()
             fb = jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)  # 0 at runtime
             return acc + s, fb
@@ -307,46 +312,50 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
         return model.init(k, sh, assemble(sh, b), train=False)
 
     params = _init(jax.random.key(0), shared, batch)
+    from fvta_memexqa_tpu.train import make_vocab_table
+
     t0 = time.perf_counter()
-    cache_h, cache_m = precompute_album_cache(cfg, model, params, shared)
+    vt0 = make_vocab_table(model, params, shared)
+    cache_h, cache_m = precompute_album_cache(cfg, model, params, shared,
+                                              vocab_table=vt0)
     np.asarray(cache_h[0, 0, 0, 0])  # sync through the tunnel
     cache_s = time.perf_counter() - t0
 
     n_mod = cache_h.shape[1]
 
-    @partial(jax.jit, static_argnums=4)
-    def loop(p, sh, b, cache, k):
+    @partial(jax.jit, static_argnums=5)
+    def loop(p, sh, b, cache, vt, k):
         ch, cm = cache
 
         def body(i, carry):
             acc, fb = carry
             b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb,
                            album_idx=b.album_idx + fb)
-            sh2 = sh.replace(vocab_chars=sh.vocab_chars + fb)  # defeat table hoist
-            mi = assemble(sh2, b2)
+            mi = assemble(sh, b2)
             n, a = b2.album_idx.shape
             h = ch[b2.album_idx]
             m = cm[b2.album_idx] & b2.album_mask[:, :, None, None]
             t = h.shape[3]
-            out = model.apply(p, sh2, mi, h.reshape(n, a * n_mod, t, -1),
+            # vt loop-invariant by design: cached per checkpoint in production
+            out = model.apply(p, sh, mi, h.reshape(n, a * n_mod, t, -1),
                               m.reshape(n, a * n_mod, t), train=False,
-                              method=model.answer)
+                              vocab_table=vt, method=model.answer)
             s = out.logits.sum()
             return acc + s, jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)
 
         return jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.int32(0)))[0]
 
     cache = (cache_h, cache_m)
-    np.asarray(loop(params, shared, batch, cache, k_small))
-    np.asarray(loop(params, shared, batch, cache, k_large))
+    np.asarray(loop(params, shared, batch, cache, vt0, k_small))
+    np.asarray(loop(params, shared, batch, cache, vt0, k_large))
     slopes = []
     for _ in range(reps):
-        np.asarray(loop(params, shared, batch, cache, k_small))
+        np.asarray(loop(params, shared, batch, cache, vt0, k_small))
         t0 = time.perf_counter()
-        np.asarray(loop(params, shared, batch, cache, k_small))
+        np.asarray(loop(params, shared, batch, cache, vt0, k_small))
         d1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(loop(params, shared, batch, cache, k_large))
+        np.asarray(loop(params, shared, batch, cache, vt0, k_large))
         d2 = time.perf_counter() - t0
         slopes.append((d2 - d1) / (k_large - k_small))
     per = sorted(slopes)[len(slopes) // 2]
@@ -420,20 +429,23 @@ def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
             def _init(k, sh, b):
                 return model.init(k, sh, assemble(sh, b), train=False)
             params = _init(jax.random.key(0), shared, batch)
+            from fvta_memexqa_tpu.train import make_vocab_table
+
+            vt = make_vocab_table(model, params, shared)  # once per checkpoint
 
         t0 = time.perf_counter()
-        np.asarray(fwd_loop(params, shared, batch, k_small))
+        np.asarray(fwd_loop(params, shared, batch, vt, k_small))
         compile_s = time.perf_counter() - t0
-        np.asarray(fwd_loop(params, shared, batch, k_large))  # compile large too
+        np.asarray(fwd_loop(params, shared, batch, vt, k_large))  # compile large too
 
         slopes = []
         for _ in range(reps):
-            np.asarray(fwd_loop(params, shared, batch, k_small))  # drain queue
+            np.asarray(fwd_loop(params, shared, batch, vt, k_small))  # drain queue
             t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, k_small))
+            np.asarray(fwd_loop(params, shared, batch, vt, k_small))
             d1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, k_large))
+            np.asarray(fwd_loop(params, shared, batch, vt, k_large))
             d2 = time.perf_counter() - t0
             slopes.append((d2 - d1) / (k_large - k_small))
         per = sorted(slopes)[len(slopes) // 2]  # median slope

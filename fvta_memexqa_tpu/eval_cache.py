@@ -45,7 +45,8 @@ def _album_only_batch(cfg: Config, rows: np.ndarray) -> Batch:
 
 
 def precompute_album_cache(cfg: Config, model: FVTAModel, params,
-                           shared: SharedTables, batch_size: int = 64):
+                           shared: SharedTables, batch_size: int = 64,
+                           vocab_table=None):
     """Encode every album row once → (h [R, 6, T, 2H], mask [R, 6, T]) on device.
     Row 0 is the pad album (all-masked)."""
     a1_cfg = cfg.replace(data=cfg.data.__class__(
@@ -53,9 +54,10 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
     a1_model = FVTAModel(cfg=a1_cfg)
 
     @jax.jit
-    def encode(p, sh, b):
+    def encode(p, sh, b, vt):
         mi = assemble(sh, b)
-        return a1_model.apply(p, sh, mi, train=False, method=a1_model.encode_context)
+        return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
+                              method=a1_model.encode_context)
 
     num_rows = int(shared.album_photo_idx.shape[0])
     hs, ms = [], []
@@ -64,7 +66,7 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
         pad = batch_size - len(rows)
         rows_p = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
         b = jax.tree.map(jnp.asarray, _album_only_batch(a1_cfg, rows_p))
-        h, m = encode(params, shared, b)
+        h, m = encode(params, shared, b, vocab_table)
         hs.append(h[: len(rows)])
         ms.append(m[: len(rows)])
     return jnp.concatenate(hs), jnp.concatenate(ms)
@@ -74,7 +76,8 @@ def make_cached_eval_step(cfg: Config, model: FVTAModel):
     """Eval step consuming the album cache: gathers per-question context states."""
     n_mod = len(MODALITIES)
 
-    def eval_step(params, shared: SharedTables, cache_h, cache_m, batch: Batch):
+    def eval_step(params, shared: SharedTables, cache_h, cache_m, batch: Batch,
+                  vocab_table=None):
         mi = assemble(shared, batch)  # query-side fields; album fields unused below
         n, a = batch.album_idx.shape
         h = cache_h[batch.album_idx]                 # [N, A, 6, T, 2H]
@@ -83,7 +86,7 @@ def make_cached_eval_step(cfg: Config, model: FVTAModel):
         h_ctx = h.reshape(n, a * n_mod, t, -1)
         ctx_mask = m.reshape(n, a * n_mod, t)
         out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
-                          method=model.answer)
+                          vocab_table=vocab_table, method=model.answer)
         logp = jax.nn.log_softmax(out.logits)
         nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
         w = mi.ex_mask.astype(logp.dtype)
@@ -101,9 +104,13 @@ def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 
     from fvta_memexqa_tpu.data.device_prepro import device_put_batch
 
+    from fvta_memexqa_tpu.train import make_vocab_table
+
     t0 = time.perf_counter()
+    vt = make_vocab_table(model, params, shared)  # once per checkpoint
     if cache is None:
-        cache_h, cache_m = precompute_album_cache(cfg, model, params, shared)
+        cache_h, cache_m = precompute_album_cache(cfg, model, params, shared,
+                                                  vocab_table=vt)
     else:
         cache_h, cache_m = cache
     jax.block_until_ready(cache_h)
@@ -111,7 +118,7 @@ def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     step = make_cached_eval_step(cfg, model)
     totals = None  # device-side accumulation; one host fetch at the end
     for batch in dataset.get_batches(batch_size, shuffle=False):
-        m = step(params, shared, cache_h, cache_m, device_put_batch(batch))
+        m = step(params, shared, cache_h, cache_m, device_put_batch(batch), vt)
         totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
                                             "loss_sum": 0.0})

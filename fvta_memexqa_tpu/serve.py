@@ -128,9 +128,15 @@ class AlbumStore:
             **{**cfg.data.__dict__, "max_albums": 1}))
         a1_model = FVTAModel(cfg=a1_cfg)
 
+        # Params are frozen while serving: the vocab embed table is computed
+        # ONCE here and reused by every ingest and every query batch.
+        from fvta_memexqa_tpu.train import make_vocab_table
+
+        self.vocab_table = make_vocab_table(model, params, shared)
+
         @jax.jit
-        def _encode(p, sh, mi):
-            return a1_model.apply(p, sh, mi, train=False,
+        def _encode(p, sh, mi, vt):
+            return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
                                   method=a1_model.encode_context)
 
         self._encode = _encode
@@ -155,7 +161,7 @@ class AlbumStore:
     def ingest(self, album: Album, photo_feats: dict[str, np.ndarray]) -> None:
         mi = jax.tree.map(jnp.asarray,
                           _single_album_inputs(self.cfg, self.vocab, album, photo_feats))
-        h, m = self._encode(self.params, self.shared, mi)
+        h, m = self._encode(self.params, self.shared, mi, self.vocab_table)
         self._put(album.album_id, h[0], m[0])        # [6, T, 2H], [6, T]
 
     def get_stacked(self, album_ids: list[str]):
@@ -242,9 +248,9 @@ class QAEngine:
         model = store.model
 
         @jax.jit
-        def _answer(p, sh, mi, h_ctx, ctx_mask):
+        def _answer(p, sh, mi, h_ctx, ctx_mask, vt):
             out = model.apply(p, sh, mi, h_ctx, ctx_mask, train=False,
-                              method=model.answer)
+                              vocab_table=vt, method=model.answer)
             return out.logits, out.attention.seq_attn
 
         self._answer = _answer
@@ -362,7 +368,7 @@ class QAEngine:
         ctx_mask = jnp.stack(ms + [jnp.zeros((s, t), bool)] * (bs - n))
 
         logits, seq_attn = self._answer(self.store.params, self.store.shared, mi,
-                                        h_ctx, ctx_mask)
+                                        h_ctx, ctx_mask, self.store.vocab_table)
         logits = np.asarray(logits)
         seq_attn = np.asarray(seq_attn)
         probs = np.exp(logits - logits.max(-1, keepdims=True))

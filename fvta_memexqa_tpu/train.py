@@ -69,11 +69,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batch,
-                     dropout_rng, train: bool):
-    """Masked 4-way cross-entropy + accuracy counts. ex_mask excludes pad rows."""
+                     dropout_rng, train: bool, vocab_table=None):
+    """Masked 4-way cross-entropy + accuracy counts. ex_mask excludes pad rows.
+    vocab_table: optional precomputed embed table (frozen-param evaluation)."""
     mi = assemble(shared, batch)
     rngs = {"dropout": dropout_rng} if train else None
-    out = model.apply(params, shared, mi, train=train, rngs=rngs)
+    out = model.apply(params, shared, mi, train=train, rngs=rngs,
+                      vocab_table=vocab_table)
     logp = jax.nn.log_softmax(out.logits)                       # [N, 4]
     nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
     w = mi.ex_mask.astype(logp.dtype)
@@ -131,15 +133,26 @@ def make_train_step(cfg: Config, model: FVTAModel):
 
 
 def make_eval_step(cfg: Config, model: FVTAModel):
-    def eval_step(params, shared: SharedTables, batch: Batch):
-        _, m = loss_and_metrics(model, params, shared, batch, None, False)
+    def eval_step(params, shared: SharedTables, batch: Batch, vocab_table=None):
+        _, m = loss_and_metrics(model, params, shared, batch, None, False,
+                                vocab_table)
         return m
 
     return jax.jit(eval_step)
 
 
+def make_vocab_table(model: FVTAModel, params, shared: SharedTables):
+    """Precompute the token-embedding table for frozen-param evaluation
+    (pure function of params+shared; ~22% of a forward step amortized away —
+    identical logits, parity-tested)."""
+    if not model.cfg.model.vocab_embed:
+        return None
+    return jax.jit(lambda p, sh: model.apply(p, sh, method=FVTAModel._vocab_table))(
+        params, shared)
+
+
 def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
-             batch_size: int, mesh=None) -> dict:
+             batch_size: int, mesh=None, vocab_table=None) -> dict:
     """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py).
 
     Per-batch metrics accumulate ON DEVICE and are fetched once at the end — a
@@ -148,7 +161,7 @@ def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
     totals = None
     for batch in dataset.get_batches(batch_size, shuffle=False):
         batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
-        m = eval_step(params, shared, batch)
+        m = eval_step(params, shared, batch, vocab_table)
         totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
                                             "loss_sum": 0.0})
@@ -243,7 +256,8 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
                 timer.reset()
             if val_ds is not None and step % t.val_period == 0:
                 vm = evaluate(eval_step, state.params, shared, val_ds,
-                              t.eval_batch_size, mesh)
+                              t.eval_batch_size, mesh,
+                              make_vocab_table(model, state.params, shared))
                 log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
                 best_val = max(best_val, vm["acc"])
                 ckpt.save(step, state, val_acc=vm["acc"])
@@ -256,7 +270,8 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     # final val + save
     step = int(state.step)
     if val_ds is not None:
-        vm = evaluate(eval_step, state.params, shared, val_ds, t.eval_batch_size, mesh)
+        vm = evaluate(eval_step, state.params, shared, val_ds, t.eval_batch_size,
+                      mesh, make_vocab_table(model, state.params, shared))
         log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
         best_val = max(best_val, vm["acc"])
         ckpt.save(step, state, val_acc=vm["acc"])
@@ -293,7 +308,8 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
                             cfg.train.eval_batch_size)
     else:
         eval_step = make_eval_step(cfg, model)
-        m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size)
+        m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size,
+                     vocab_table=make_vocab_table(model, state.params, shared))
     timer.stop()
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],

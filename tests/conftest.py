@@ -14,6 +14,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compilation cache: the suite is dominated by CPU compiles of the
+# full model, so re-runs hit the cache and drop from ~30 min to minutes. Set via
+# env (not jax.config) so the CLI-subprocess tests inherit it too.
+_JAX_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _JAX_CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

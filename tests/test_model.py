@@ -17,32 +17,43 @@ def setup(packed_synth, small_config):
     batch = device_put_batch(next(iter(ds.get_batches(4))))
     mi = assemble(shared, batch)
     model = FVTAModel(cfg=small_config)
-    params = model.init(jax.random.key(0), shared, mi, train=False)
+    params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+        jax.random.key(0))
     return model, params, shared, mi
 
 
+@pytest.fixture(scope="module")
+def jfwd(setup):
+    """Shared jitted forward — compiled once per session, persisted across runs
+    by the compilation cache (conftest)."""
+    model, _, shared, mi = setup
+    return jax.jit(lambda p: model.apply(p, shared, mi, train=False))
+
+
 class TestModelForward:
-    def test_logit_shapes(self, setup):
+    def test_logit_shapes(self, setup, jfwd):
         model, params, shared, mi = setup
-        out = model.apply(params, shared, mi, train=False)
+        out = jfwd(params)
         assert out.logits.shape == (4, 4)
         assert np.isfinite(np.asarray(out.logits)).all()
 
-    def test_eval_deterministic(self, setup):
+    def test_eval_deterministic(self, setup, jfwd):
         model, params, shared, mi = setup
-        o1 = model.apply(params, shared, mi, train=False)
-        o2 = model.apply(params, shared, mi, train=False)
+        o1 = jfwd(params)
+        o2 = jfwd(params)
         np.testing.assert_array_equal(np.asarray(o1.logits), np.asarray(o2.logits))
 
     def test_dropout_active_in_train(self, setup):
         model, params, shared, mi = setup
-        o1 = model.apply(params, shared, mi, train=True, rngs={"dropout": jax.random.key(1)})
-        o2 = model.apply(params, shared, mi, train=True, rngs={"dropout": jax.random.key(2)})
+        tfwd = jax.jit(lambda p, k: model.apply(p, shared, mi, train=True,
+                                                rngs={"dropout": k}))
+        o1 = tfwd(params, jax.random.key(1))
+        o2 = tfwd(params, jax.random.key(2))
         assert not np.allclose(np.asarray(o1.logits), np.asarray(o2.logits))
 
-    def test_attention_weights_shapes(self, setup, small_config):
+    def test_attention_weights_shapes(self, setup, small_config, jfwd):
         model, params, shared, mi = setup
-        out = model.apply(params, shared, mi, train=False)
+        out = jfwd(params)
         d = small_config.data
         s = d.max_albums * 6
         assert out.attention.time_attn.shape == (4, s, d.max_context_time)
@@ -55,7 +66,7 @@ class TestModelForward:
             **{**small_config.model.__dict__, "attention": attention}
         ))
         model = FVTAModel(cfg=cfg)
-        out = model.apply(params, shared, mi, train=False)
+        out = jax.jit(lambda p: model.apply(p, shared, mi, train=False))(params)
         assert np.isfinite(np.asarray(out.logits)).all()
 
     @pytest.mark.parametrize("similarity", ["dot", "bilinear"])
@@ -65,8 +76,9 @@ class TestModelForward:
             **{**small_config.model.__dict__, "similarity": similarity}
         ))
         model = FVTAModel(cfg=cfg)
-        params = model.init(jax.random.key(0), shared, mi, train=False)
-        out = model.apply(params, shared, mi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, mi, train=False))(params)
         assert np.isfinite(np.asarray(out.logits)).all()
 
     def test_grads_nonzero_for_all_encoders(self, setup):
@@ -77,7 +89,7 @@ class TestModelForward:
             lab = jax.nn.one_hot(mi.label, 4)
             return -jnp.mean(jnp.sum(lab * jax.nn.log_softmax(out.logits), -1))
 
-        g = jax.grad(loss)(params)
+        g = jax.jit(jax.grad(loss))(params)
         flat = jax.tree_util.tree_flatten_with_path(g)[0]
         dead = [
             jax.tree_util.keystr(k)
@@ -101,8 +113,9 @@ class TestModelForward:
         cfg_voc = small_config.replace(
             model=mc.__class__(**{**mc.__dict__, "vocab_embed": True})
         )
-        o_tok = FVTAModel(cfg=cfg_tok).apply(params, shared, mi, train=False)
-        o_voc = FVTAModel(cfg=cfg_voc).apply(params, shared, mi, train=False)
+        m_tok, m_voc = FVTAModel(cfg=cfg_tok), FVTAModel(cfg=cfg_voc)
+        o_tok = jax.jit(lambda p: m_tok.apply(p, shared, mi, train=False))(params)
+        o_voc = jax.jit(lambda p: m_voc.apply(p, shared, mi, train=False))(params)
         np.testing.assert_allclose(
             np.asarray(o_tok.logits), np.asarray(o_voc.logits), rtol=1e-5, atol=1e-6
         )
@@ -135,9 +148,10 @@ class TestModelForward:
             model=mc.__class__(**{**mc.__dict__, "vocab_embed": False})))
         m_voc = FVTAModel(cfg=cfg.replace(
             model=mc.__class__(**{**mc.__dict__, "vocab_embed": True})))
-        params = m_voc.init(jax.random.key(0), shared, mi, train=False)
-        o_tok = m_tok.apply(params, shared, mi, train=False)
-        o_voc = m_voc.apply(params, shared, mi, train=False)
+        params = jax.jit(lambda k: m_voc.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        o_tok = jax.jit(lambda p: m_tok.apply(p, shared, mi, train=False))(params)
+        o_voc = jax.jit(lambda p: m_voc.apply(p, shared, mi, train=False))(params)
         np.testing.assert_allclose(np.asarray(o_tok.logits), np.asarray(o_voc.logits),
                                    rtol=1e-5, atol=1e-6)
 
@@ -157,3 +171,24 @@ class TestModelForward:
         leaf = [v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
                 if "oov_emb" in jax.tree_util.keystr(k)][0]
         assert leaf.shape[0] < small_config.data.word_vocab_size
+
+
+def test_precomputed_vocab_table_identical_logits(setup, small_config):
+    """Frozen-param evaluation precomputes the embed table once
+    (train.make_vocab_table): same math as the inline computation — float-level
+    agreement (the separate compilation may fuse differently, so low-order bits
+    can move; anything beyond that is a real divergence)."""
+    from fvta_memexqa_tpu.train import make_vocab_table
+
+    model, params, shared, mi = setup
+    vt = make_vocab_table(model, params, shared)
+    assert vt is not None
+    o_inline = jax.jit(lambda p: model.apply(p, shared, mi, train=False))(params)
+    o_cached = jax.jit(lambda p, v: model.apply(p, shared, mi, train=False,
+                                                vocab_table=v))(params, vt)
+    np.testing.assert_allclose(np.asarray(o_inline.logits),
+                               np.asarray(o_cached.logits), rtol=1e-5, atol=1e-6)
+    # and the table itself equals the inline-computed table bitwise
+    vt_inline = model.apply(params, shared, method=FVTAModel._vocab_table)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(vt_inline),
+                               rtol=1e-6, atol=1e-7)
