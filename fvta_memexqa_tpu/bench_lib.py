@@ -172,15 +172,15 @@ def step_cost(cfg: Config, batch_size: int, train: bool = False,
 
     params = _init(jax.random.key(0), shared, batch)
     if not train:
-        from fvta_memexqa_tpu.train import make_vocab_table
+        from fvta_memexqa_tpu.train import make_eval_tables
 
-        vt = make_vocab_table(model, params, shared)
+        vt, pt = make_eval_tables(model, params, shared)
 
-        def fwd(p, sh, b, v):
-            return model.apply(p, sh, assemble(sh, b), train=False,
+        def fwd(p, sh, b, v, pho):
+            return model.apply(p, sh, assemble(sh, b, pho), train=False,
                                vocab_table=v).logits
 
-        return _compiled_cost(fwd, params, shared, batch, vt)
+        return _compiled_cost(fwd, params, shared, batch, vt, pt)
 
     from fvta_memexqa_tpu.train import init_state, loss_and_metrics, make_optimizer
 
@@ -215,22 +215,24 @@ def _timed_loop_fn(model: FVTAModel):
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=4)
-    def fwd_loop(p, sh, b, vt, k):
+    @partial(jax.jit, static_argnums=5)
+    def fwd_loop(p, sh, b, vt, pt, k):
         def body(i, carry):
             acc, feedback = carry
             # Perturb an input on EVERY independent compute path (question, choices,
             # album/photo gathers + all context encoders) or XLA hoists the
             # untouched paths out of the loop and the measurement undercounts.
-            # The vocab embed table vt is INTENTIONALLY loop-invariant: production
-            # evaluation precomputes it once per checkpoint (train.make_vocab_table)
-            # and every eval step consumes the cached table, exactly as here.
+            # The vocab embed table vt and photo table pt are INTENTIONALLY
+            # loop-invariant: production evaluation precomputes both once per
+            # checkpoint (train.make_eval_tables) and every eval step consumes
+            # the cached tables, exactly as here. The per-batch photo gather
+            # itself still recomputes (album_idx is perturbed).
             b2 = b.replace(
                 q_words=b.q_words + feedback,
                 choice_words=b.choice_words + feedback,
                 album_idx=b.album_idx + feedback,
             )
-            lg = model.apply(p, sh, assemble(sh, b2), train=False,
+            lg = model.apply(p, sh, assemble(sh, b2, pt), train=False,
                              vocab_table=vt).logits
             s = lg.sum()
             fb = jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)  # 0 at runtime
@@ -312,12 +314,12 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
         return model.init(k, sh, assemble(sh, b), train=False)
 
     params = _init(jax.random.key(0), shared, batch)
-    from fvta_memexqa_tpu.train import make_vocab_table
+    from fvta_memexqa_tpu.train import make_eval_tables
 
     t0 = time.perf_counter()
-    vt0 = make_vocab_table(model, params, shared)
+    vt0, pt0 = make_eval_tables(model, params, shared)
     cache_h, cache_m = precompute_album_cache(cfg, model, params, shared,
-                                              vocab_table=vt0)
+                                              vocab_table=vt0, photo_table=pt0)
     np.asarray(cache_h[0, 0, 0, 0])  # sync through the tunnel
     cache_s = time.perf_counter() - t0
 
@@ -429,23 +431,23 @@ def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
             def _init(k, sh, b):
                 return model.init(k, sh, assemble(sh, b), train=False)
             params = _init(jax.random.key(0), shared, batch)
-            from fvta_memexqa_tpu.train import make_vocab_table
+            from fvta_memexqa_tpu.train import make_eval_tables
 
-            vt = make_vocab_table(model, params, shared)  # once per checkpoint
+            vt, pt = make_eval_tables(model, params, shared)  # once per checkpoint
 
         t0 = time.perf_counter()
-        np.asarray(fwd_loop(params, shared, batch, vt, k_small))
+        np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))
         compile_s = time.perf_counter() - t0
-        np.asarray(fwd_loop(params, shared, batch, vt, k_large))  # compile large too
+        np.asarray(fwd_loop(params, shared, batch, vt, pt, k_large))  # compile large
 
         slopes = []
         for _ in range(reps):
-            np.asarray(fwd_loop(params, shared, batch, vt, k_small))  # drain queue
+            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))  # drain
             t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, vt, k_small))
+            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))
             d1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, vt, k_large))
+            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_large))
             d2 = time.perf_counter() - t0
             slopes.append((d2 - d1) / (k_large - k_small))
         per = sorted(slopes)[len(slopes) // 2]  # median slope

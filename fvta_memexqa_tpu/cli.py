@@ -109,11 +109,26 @@ def cmd_train(argv):
                    help="stop after N optimizer steps (overrides epochs)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 10-15 into rundir/profile")
+    p.add_argument("--stream-shard-size", type=int, default=0,
+                   help="stream splits from shard files of this many rows "
+                        "(memory-bounded loading; 0 = in-memory Dataset)")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="prefetch depth: prep+transfer batches in a background "
+                        "thread this many ahead (0 = inline)")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.data import load_pack
     from fvta_memexqa_tpu.train import train
 
     packed = load_pack(args.packdir)
+    datasets = None
+    if args.stream_shard_size > 0:
+        from fvta_memexqa_tpu.data.stream import StreamingDataset, write_split_shards
+
+        write_split_shards(args.packdir, "train", args.stream_shard_size)
+        datasets = (StreamingDataset(args.packdir, "train"), None)
+        if packed.splits.get("val") is not None and len(packed.splits["val"]["label"]):
+            write_split_shards(args.packdir, "val", args.stream_shard_size)
+            datasets = (datasets[0], StreamingDataset(args.packdir, "val"))
     cfg = _config_from_args(args).replace(data=packed.cfg)
     if args.use_pallas is None:
         # fused LSTM kernels win the TRAIN step (~+15% measured, BASELINE.md
@@ -127,7 +142,8 @@ def cmd_train(argv):
     os.makedirs(args.rundir, exist_ok=True)
     res = train(cfg, packed, args.rundir, num_steps=args.num_steps,
                 metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
-                profile_dir=os.path.join(args.rundir, "profile") if args.profile else None)
+                profile_dir=os.path.join(args.rundir, "profile") if args.profile else None,
+                datasets=datasets, prefetch=args.prefetch)
     print(json.dumps({"best_val_acc": res["best_val_acc"], "steps": res["steps"]}))
 
 

@@ -4,6 +4,8 @@ from fvta_memexqa_tpu.data.vocab import Vocab, load_glove
 from fvta_memexqa_tpu.data.pack import PackedDataset, PackedShared, load_pack, pack
 from fvta_memexqa_tpu.data.pipeline import Batch, Dataset
 from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables, assemble
+from fvta_memexqa_tpu.data.stream import (Prefetcher, StreamingDataset,
+                                           write_split_shards)
 from fvta_memexqa_tpu.data.synthetic import make_synthetic
 
 __all__ = [
@@ -25,4 +27,7 @@ __all__ = [
     "SharedTables",
     "assemble",
     "make_synthetic",
+    "Prefetcher",
+    "StreamingDataset",
+    "write_split_shards",
 ]

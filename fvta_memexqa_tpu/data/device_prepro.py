@@ -54,7 +54,13 @@ class SharedTables:
 
 @flax.struct.dataclass
 class ModelInputs:
-    """Fully materialized, fixed-shape model inputs (one QA batch)."""
+    """Fully materialized, fixed-shape model inputs (one QA batch).
+
+    photo_feats carries RAW features [N, A, P, F] by default; with
+    photo_projected=True it instead carries already-projected encoder inputs
+    [N, A, P, d_emb] gathered from a per-checkpoint photo table (frozen-param
+    evaluation fast path, see train.make_photo_table) — the model then skips
+    its photo_proj Dense."""
 
     q_words: jnp.ndarray            # i32 [N, Jq]
     q_chars: jnp.ndarray            # i32 [N, Jq, W]
@@ -62,7 +68,7 @@ class ModelInputs:
     choice_words: jnp.ndarray       # i32 [N, 4, Ja]
     choice_chars: jnp.ndarray       # i32 [N, 4, Ja, W]
     choice_mask: jnp.ndarray        # bool [N, 4, Ja]
-    photo_feats: jnp.ndarray        # f32 [N, A, P, F]
+    photo_feats: jnp.ndarray        # f32 [N, A, P, F] (or [N, A, P, d_emb], see above)
     photo_mask: jnp.ndarray         # bool [N, A, P]
     photo_title_words: jnp.ndarray  # i32 [N, A, P, Ts]
     photo_title_chars: jnp.ndarray  # i32 [N, A, P, Ts, W]
@@ -73,13 +79,26 @@ class ModelInputs:
     album_mask: jnp.ndarray         # bool [N, A]
     label: jnp.ndarray              # i32 [N]
     ex_mask: jnp.ndarray            # bool [N]
+    photo_projected: bool = flax.struct.field(pytree_node=False, default=False)
 
 
-def assemble(shared: SharedTables, batch: Batch) -> ModelInputs:
-    """Pure gather; always called under jit as part of the train/eval step."""
+def assemble(shared: SharedTables, batch: Batch,
+             photo_table: jnp.ndarray | None = None) -> ModelInputs:
+    """Pure gather; always called under jit as part of the train/eval step.
+
+    photo_table: optional album-major pre-projected photo features
+    [num_albums+1, P, d_emb] (train.make_photo_table). When given, the batch's
+    photo inputs come from ONE contiguous-row gather per album instead of
+    A*P random 10KB rows from the raw [num_photos, F] table, and the model's
+    per-step 2537→d_emb projection is skipped (frozen-param consumers only —
+    the table bakes in photo_proj params)."""
     a_idx = batch.album_idx                          # [N, A]
-    photo_idx = shared.album_photo_idx[a_idx]        # [N, A, P]
     amask = batch.album_mask[..., None]              # [N, A, 1]
+    if photo_table is not None:
+        pf = photo_table[a_idx]                      # [N, A, P, d_emb]
+    else:
+        photo_idx = shared.album_photo_idx[a_idx]    # [N, A, P]
+        pf = shared.photo_feats[photo_idx]           # [N, A, P, F]
     return ModelInputs(
         q_words=batch.q_words,
         q_chars=batch.q_chars,
@@ -87,7 +106,8 @@ def assemble(shared: SharedTables, batch: Batch) -> ModelInputs:
         choice_words=batch.choice_words,
         choice_chars=batch.choice_chars,
         choice_mask=batch.choice_mask,
-        photo_feats=shared.photo_feats[photo_idx],
+        photo_feats=pf,
+        photo_projected=photo_table is not None,
         photo_mask=shared.album_photo_mask[a_idx] & amask,
         photo_title_words=shared.photo_title_words[a_idx],
         photo_title_chars=shared.photo_title_chars[a_idx],

@@ -46,7 +46,7 @@ def _album_only_batch(cfg: Config, rows: np.ndarray) -> Batch:
 
 def precompute_album_cache(cfg: Config, model: FVTAModel, params,
                            shared: SharedTables, batch_size: int = 64,
-                           vocab_table=None):
+                           vocab_table=None, photo_table=None):
     """Encode every album row once → (h [R, 6, T, 2H], mask [R, 6, T]) on device.
     Row 0 is the pad album (all-masked)."""
     a1_cfg = cfg.replace(data=cfg.data.__class__(
@@ -54,8 +54,8 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
     a1_model = FVTAModel(cfg=a1_cfg)
 
     @jax.jit
-    def encode(p, sh, b, vt):
-        mi = assemble(sh, b)
+    def encode(p, sh, b, vt, pt):
+        mi = assemble(sh, b, pt)
         return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
                               method=a1_model.encode_context)
 
@@ -66,7 +66,7 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
         pad = batch_size - len(rows)
         rows_p = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
         b = jax.tree.map(jnp.asarray, _album_only_batch(a1_cfg, rows_p))
-        h, m = encode(params, shared, b, vocab_table)
+        h, m = encode(params, shared, b, vocab_table, photo_table)
         hs.append(h[: len(rows)])
         ms.append(m[: len(rows)])
     return jnp.concatenate(hs), jnp.concatenate(ms)
@@ -104,13 +104,13 @@ def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 
     from fvta_memexqa_tpu.data.device_prepro import device_put_batch
 
-    from fvta_memexqa_tpu.train import make_vocab_table
+    from fvta_memexqa_tpu.train import make_eval_tables
 
     t0 = time.perf_counter()
-    vt = make_vocab_table(model, params, shared)  # once per checkpoint
+    vt, pt = make_eval_tables(model, params, shared)  # once per checkpoint
     if cache is None:
         cache_h, cache_m = precompute_album_cache(cfg, model, params, shared,
-                                                  vocab_table=vt)
+                                                  vocab_table=vt, photo_table=pt)
     else:
         cache_h, cache_m = cache
     jax.block_until_ready(cache_h)

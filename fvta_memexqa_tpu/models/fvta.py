@@ -129,6 +129,18 @@ class FVTAModel(nn.Module):
         c = self.char_cnn(shared.vocab_chars)
         return self.highway(jnp.concatenate([w, c], axis=-1))
 
+    def _photo_table(self, shared: SharedTables) -> jnp.ndarray:
+        """[num_albums+1, P, d_emb] album-major pre-projected photo features:
+        photo_proj applied once over the whole photo table, then gathered into
+        album-major layout. Pure function of (params, shared) — frozen-param
+        consumers precompute it per checkpoint (train.make_photo_table) and
+        assemble() gathers per-batch rows from it, replacing the per-step
+        [N,A,P,2537] raw gather + 2537→d_emb matmul (~10% of forward FLOPs)
+        with one small contiguous gather. Same math as the inline path
+        (gather commutes with the per-row Dense); parity-tested."""
+        proj = self.photo_proj(shared.photo_feats)        # [num_photos+1, d_emb]
+        return proj[shared.album_photo_idx]               # [num_albums+1, P, d_emb]
+
     def _embed_text(self, words, chars, frozen_table, train: bool, vocab_table=None):
         """word ids [..., L] + char ids [..., L, W] → [..., L, d_in].
 
@@ -190,7 +202,10 @@ class FVTAModel(nn.Module):
             return x, mask
 
         # One (x, mask) per modality, MODALITIES order; all share batch n*A.
-        photo_in = self.dropout(self.photo_proj(mi.photo_feats), deterministic=not train)
+        # photo_projected: assemble() already gathered pre-projected rows from
+        # the per-checkpoint photo table — skip the (baked-in) projection.
+        pf = mi.photo_feats if mi.photo_projected else self.photo_proj(mi.photo_feats)
+        photo_in = self.dropout(pf, deterministic=not train)
         at_emb = self._embed_text(mi.album_text_words, mi.album_text_chars, ft, train, vt)
         enc_in = [
             (photo_in.reshape(n * A, P, -1), mi.photo_mask.reshape(n * A, P)),

@@ -69,10 +69,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batch,
-                     dropout_rng, train: bool, vocab_table=None):
+                     dropout_rng, train: bool, vocab_table=None, photo_table=None):
     """Masked 4-way cross-entropy + accuracy counts. ex_mask excludes pad rows.
-    vocab_table: optional precomputed embed table (frozen-param evaluation)."""
-    mi = assemble(shared, batch)
+    vocab_table / photo_table: optional precomputed per-checkpoint tables
+    (frozen-param evaluation; see make_vocab_table / make_photo_table)."""
+    mi = assemble(shared, batch, photo_table)
     rngs = {"dropout": dropout_rng} if train else None
     out = model.apply(params, shared, mi, train=train, rngs=rngs,
                       vocab_table=vocab_table)
@@ -133,9 +134,10 @@ def make_train_step(cfg: Config, model: FVTAModel):
 
 
 def make_eval_step(cfg: Config, model: FVTAModel):
-    def eval_step(params, shared: SharedTables, batch: Batch, vocab_table=None):
+    def eval_step(params, shared: SharedTables, batch: Batch, vocab_table=None,
+                  photo_table=None):
         _, m = loss_and_metrics(model, params, shared, batch, None, False,
-                                vocab_table)
+                                vocab_table, photo_table)
         return m
 
     return jax.jit(eval_step)
@@ -151,8 +153,24 @@ def make_vocab_table(model: FVTAModel, params, shared: SharedTables):
         params, shared)
 
 
+def make_photo_table(model: FVTAModel, params, shared: SharedTables):
+    """Precompute the album-major pre-projected photo-feature table for
+    frozen-param evaluation (pure function of params+shared; replaces the
+    per-step raw [N,A,P,2537] gather + projection — identical logits,
+    parity-tested). Pass to assemble()/eval_step as photo_table."""
+    return jax.jit(lambda p, sh: model.apply(p, sh, method=FVTAModel._photo_table))(
+        params, shared)
+
+
+def make_eval_tables(model: FVTAModel, params, shared: SharedTables):
+    """(vocab_table, photo_table) for frozen-param consumers, one call."""
+    return (make_vocab_table(model, params, shared),
+            make_photo_table(model, params, shared))
+
+
 def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
-             batch_size: int, mesh=None, vocab_table=None) -> dict:
+             batch_size: int, mesh=None, vocab_table=None,
+             photo_table=None) -> dict:
     """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py).
 
     Per-batch metrics accumulate ON DEVICE and are fetched once at the end — a
@@ -161,7 +179,7 @@ def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
     totals = None
     for batch in dataset.get_batches(batch_size, shuffle=False):
         batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
-        m = eval_step(params, shared, batch, vocab_table)
+        m = eval_step(params, shared, batch, vocab_table, photo_table)
         totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
                                             "loss_sum": 0.0})
@@ -174,17 +192,27 @@ def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
 
 def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
           metrics_path: str | None = None, echo: bool = True,
-          profile_dir: str | None = None) -> dict:
+          profile_dir: str | None = None, datasets=None,
+          prefetch: int = 0) -> dict:
     """Full training: epochs over train split, periodic val, keep-best checkpoints.
+
+    datasets: optional (train_ds, val_ds) override — any objects with the
+    pipeline.Dataset interface (num_batches/get_batches), e.g. the
+    memory-bounded data.stream.StreamingDataset. val_ds may be None.
+    prefetch: if >0, host batch prep + host→device transfer run in a
+    background thread `prefetch` batches ahead (data.stream.Prefetcher).
 
     Returns {"best_val_acc", "steps", "state"} for programmatic use (tests/serving).
     """
     maybe_enable_debug_nans()
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
-    train_ds = Dataset(packed, "train")
-    val_ds = Dataset(packed, "val") if packed.splits.get("val") is not None and len(
-        packed.splits["val"]["label"]) else None
+    if datasets is not None:
+        train_ds, val_ds = datasets
+    else:
+        train_ds = Dataset(packed, "train")
+        val_ds = Dataset(packed, "val") if packed.splits.get(
+            "val") is not None and len(packed.splits["val"]["label"]) else None
 
     mesh = make_mesh(cfg.mesh) if cfg.mesh.num_devices > 1 else None
     if mesh is not None:
@@ -218,14 +246,21 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     steps_done = int(state.step)  # Python mirror of state.step: avoids a device
     #                               sync per step just to read the counter
 
+    xfer = (lambda b: shard_batch(mesh, b)) if mesh is not None else device_put_batch
     for epoch in range(start_epoch, t.num_epochs):
         if done:
             break
-        for bi, batch in enumerate(train_ds.get_batches(t.batch_size, shuffle=True,
-                                                        seed=t.seed, epoch=epoch)):
+        batch_it = train_ds.get_batches(t.batch_size, shuffle=True,
+                                        seed=t.seed, epoch=epoch)
+        if prefetch > 0:
+            from fvta_memexqa_tpu.data.stream import Prefetcher
+
+            batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
+        for bi, batch in enumerate(batch_it):
             if epoch == start_epoch and bi < skip_batches:
                 continue  # already consumed before the checkpoint
-            batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
+            if prefetch <= 0:
+                batch = xfer(batch)
             # Tracing (SURVEY.md section 5): profile steps [10, 15) once, after
             # compile noise settles; view with tensorboard/perfetto.
             if profile_dir and steps_done == 10:
@@ -257,7 +292,7 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             if val_ds is not None and step % t.val_period == 0:
                 vm = evaluate(eval_step, state.params, shared, val_ds,
                               t.eval_batch_size, mesh,
-                              make_vocab_table(model, state.params, shared))
+                              *make_eval_tables(model, state.params, shared))
                 log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
                 best_val = max(best_val, vm["acc"])
                 ckpt.save(step, state, val_acc=vm["acc"])
@@ -271,7 +306,7 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     step = int(state.step)
     if val_ds is not None:
         vm = evaluate(eval_step, state.params, shared, val_ds, t.eval_batch_size,
-                      mesh, make_vocab_table(model, state.params, shared))
+                      mesh, *make_eval_tables(model, state.params, shared))
         log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
         best_val = max(best_val, vm["acc"])
         ckpt.save(step, state, val_acc=vm["acc"])
@@ -308,8 +343,9 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
                             cfg.train.eval_batch_size)
     else:
         eval_step = make_eval_step(cfg, model)
+        vt, pt = make_eval_tables(model, state.params, shared)
         m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size,
-                     vocab_table=make_vocab_table(model, state.params, shared))
+                     vocab_table=vt, photo_table=pt)
     timer.stop()
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],

@@ -48,12 +48,17 @@ def small_data_config() -> DataConfig:
 
 
 @pytest.fixture(scope="session")
-def packed_synth(tmp_path_factory):
+def pack_dir(tmp_path_factory):
     """Synthetic mini-dataset packed to disk once per test session."""
     out = str(tmp_path_factory.mktemp("pack"))
     qas, albums, feats, test_ids, glove = make_synthetic(seed=0)
     pack(qas, albums, feats, test_ids, glove, out, small_data_config(), seed=0)
-    return load_pack(out)
+    return out
+
+
+@pytest.fixture(scope="session")
+def packed_synth(pack_dir):
+    return load_pack(pack_dir)
 
 
 @pytest.fixture(scope="session")

@@ -192,3 +192,27 @@ def test_precomputed_vocab_table_identical_logits(setup, small_config):
     vt_inline = model.apply(params, shared, method=FVTAModel._vocab_table)
     np.testing.assert_allclose(np.asarray(vt), np.asarray(vt_inline),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_precomputed_photo_table_identical_logits(setup, small_config, packed_synth):
+    """Frozen-param evaluation pre-projects the photo features once per
+    checkpoint (train.make_photo_table); assemble() then gathers album-major
+    pre-projected rows and the model skips photo_proj. Same per-row math as
+    the inline gather→project path — float-level agreement."""
+    from fvta_memexqa_tpu.data import Dataset
+    from fvta_memexqa_tpu.train import make_photo_table
+
+    model, params, shared, mi = setup
+    pt = make_photo_table(model, params, shared)
+    d = small_config.data
+    assert pt.shape == (shared.album_photo_idx.shape[0], d.max_photos,
+                        d.word_emb_dim + small_config.model.char_cnn_filters)
+
+    batch = device_put_batch(next(iter(
+        Dataset(packed_synth, "train").get_batches(4))))
+    o_raw = jax.jit(lambda p, b: model.apply(
+        p, shared, assemble(shared, b), train=False))(params, batch)
+    o_pre = jax.jit(lambda p, b, t: model.apply(
+        p, shared, assemble(shared, b, t), train=False))(params, batch, pt)
+    np.testing.assert_allclose(np.asarray(o_raw.logits), np.asarray(o_pre.logits),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,133 @@
+"""Streaming input: shard round-trip, windowed-shuffle determinism, prefetch.
+
+The streaming loader (data/stream.py) must be a drop-in for pipeline.Dataset:
+identical Batch layout and pad-by-repeat semantics, deterministic order given
+(seed, epoch), full split coverage — the memory-bounded path for datasets that
+don't fit pack-once (SURVEY.md §2 data-runtime row)."""
+
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.data import Dataset, StreamingDataset, write_split_shards
+from fvta_memexqa_tpu.data.stream import Prefetcher
+
+
+@pytest.fixture(scope="module")
+def sharded(pack_dir, packed_synth):
+    n_shards = write_split_shards(pack_dir, "train", shard_size=5)
+    assert n_shards == -(-packed_synth.num_examples("train") // 5)
+    return pack_dir
+
+
+def _batches_equal(b1, b2):
+    import jax
+
+    for l1, l2 in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+class TestStreamingDataset:
+    def test_covers_split(self, sharded, packed_synth):
+        ds = StreamingDataset(sharded, "train")
+        assert ds.n == packed_synth.num_examples("train")
+        ref = Dataset(packed_synth, "train")
+        assert sorted(ds.qids) == sorted(ref.qids)
+        assert ds.num_batches(4) == ref.num_batches(4)
+
+    def test_unshuffled_identical_to_in_memory(self, sharded, packed_synth):
+        """Unshuffled, shards are split in pack order and the carry across
+        shard boundaries preserves it — the stream must equal Dataset's."""
+        ds = StreamingDataset(sharded, "train", cache_shards=1)
+        ref = Dataset(packed_synth, "train")
+        s_batches = list(ds.get_batches(4))
+        r_batches = list(ref.get_batches(4))
+        assert len(s_batches) == len(r_batches)
+        for sb, rb in zip(s_batches, r_batches):
+            _batches_equal(sb, rb)
+
+    def test_shuffle_deterministic_and_complete(self, sharded, packed_synth):
+        ds = StreamingDataset(sharded, "train")
+        a = list(ds.get_batches(4, shuffle=True, seed=3, epoch=1))
+        b = list(ds.get_batches(4, shuffle=True, seed=3, epoch=1))
+        for x, y in zip(a, b):
+            _batches_equal(x, y)
+        c = list(ds.get_batches(4, shuffle=True, seed=3, epoch=2))
+        assert any(
+            not np.array_equal(np.asarray(x.q_words), np.asarray(y.q_words))
+            for x, y in zip(a, c)
+        ), "epoch must change the order"
+        # every example appears exactly once (multiset over label+q_words rows)
+        def rows(batches):
+            out = []
+            for bt in batches:
+                for i in range(len(np.asarray(bt.label))):
+                    if bt.ex_mask[i]:
+                        out.append(np.asarray(bt.q_words)[i].tobytes())
+            return sorted(out)
+
+        assert rows(a) == rows(list(Dataset(packed_synth, "train").get_batches(4)))
+
+    def test_partial_final_batch_masked(self, sharded, packed_synth):
+        n = packed_synth.num_examples("train")
+        bs = 7 if n % 7 else 6
+        assert n % bs, "pick a bs that leaves a remainder"
+        *_, last = StreamingDataset(sharded, "train").get_batches(bs)
+        k = n % bs
+        assert last.ex_mask[:k].all() and not last.ex_mask[k:].any()
+        assert last.q_words.shape[0] == bs
+
+    def test_drop_remainder(self, sharded, packed_synth):
+        n = packed_synth.num_examples("train")
+        bs = 7 if n % 7 else 6
+        got = list(StreamingDataset(sharded, "train").get_batches(
+            bs, drop_remainder=True))
+        assert len(got) == n // bs
+
+
+class TestPrefetcher:
+    def test_equivalent_stream(self, sharded):
+        ds = StreamingDataset(sharded, "train")
+        direct = list(ds.get_batches(4, shuffle=True, seed=1))
+        fetched = list(Prefetcher(ds.get_batches(4, shuffle=True, seed=1), depth=3))
+        assert len(direct) == len(fetched)
+        for d, f in zip(direct, fetched):
+            _batches_equal(d, f)
+
+    def test_transfer_applied(self, sharded):
+        import jax.numpy as jnp
+
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+
+        ds = StreamingDataset(sharded, "train")
+        b = next(iter(Prefetcher(ds.get_batches(4), transfer=device_put_batch)))
+        assert isinstance(b.q_words, jnp.ndarray)
+
+    def test_worker_exception_propagates(self):
+        def boom():
+            yield 1
+            raise RuntimeError("worker died")
+
+        it = Prefetcher(boom())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="worker died"):
+            list(it)
+
+
+def test_train_e2e_streaming(sharded, packed_synth, small_config, tmp_path):
+    """A few optimizer steps through StreamingDataset + Prefetcher: the loop,
+    val evaluation, and checkpointing all take the streaming loader."""
+    import dataclasses
+
+    from fvta_memexqa_tpu.data import StreamingDataset
+    from fvta_memexqa_tpu.train import train
+
+    write_split_shards(sharded, "val", shard_size=4)
+    cfg = small_config.replace(train=dataclasses.replace(
+        small_config.train, batch_size=4, num_epochs=1, val_period=3,
+        log_period=2))
+    res = train(cfg, packed_synth, str(tmp_path / "run"), num_steps=4,
+                echo=False, datasets=(StreamingDataset(sharded, "train"),
+                                      StreamingDataset(sharded, "val")),
+                prefetch=2)
+    assert res["steps"] == 4
+    assert res["best_val_acc"] >= 0.0
