@@ -111,11 +111,21 @@ class AlbumStore:
     re-encoding its albums."""
 
     def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                 vocab: Vocab, max_bytes: int | None = None):
+                 vocab: Vocab, max_bytes: int | None = None, mesh=None):
         from collections import OrderedDict
 
         self.cfg = cfg
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: replicate the (small) params/tables across the
+            # mesh once; the query step then shards its micro-batch over "data"
+            # (QAEngine), XLA inserting the collectives. The album cache stays
+            # replicated — ~115 KB per album, thousands fit per chip.
+            from fvta_memexqa_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+            shared = jax.device_put(shared, replicated(mesh))
         self.params = params
         self.shared = shared
         self.vocab = vocab
@@ -247,13 +257,28 @@ class QAEngine:
         self._stop = threading.Event()
         model = store.model
 
-        @jax.jit
-        def _answer(p, sh, mi, h_ctx, ctx_mask, vt):
+        def _answer_fn(p, sh, mi, h_ctx, ctx_mask, vt):
             out = model.apply(p, sh, mi, h_ctx, ctx_mask, train=False,
                               vocab_table=vt, method=model.answer)
             return out.logits, out.attention.seq_attn
 
-        self._answer = _answer
+        if store.mesh is not None:
+            # DP-sharded query step: the padded micro-batch splits over the
+            # mesh's "data" axis (batch_size must divide by it); params/tables
+            # replicated, logits gathered back replicated.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = store.mesh.shape["data"]
+            if batch_size % dp:
+                raise ValueError(
+                    f"serving batch_size {batch_size} must be divisible by the "
+                    f"mesh's data axis ({dp})")
+            rep = NamedSharding(store.mesh, P())
+            self._bsh = NamedSharding(store.mesh, P("data"))
+            self._answer = jax.jit(_answer_fn, out_shardings=(rep, rep))
+        else:
+            self._bsh = None
+            self._answer = jax.jit(_answer_fn)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         self.stats = {"questions": 0, "batches": 0}
@@ -366,6 +391,12 @@ class QAEngine:
         h2 = hs[0].shape[2]
         h_ctx = jnp.stack(hs + [jnp.zeros((s, t, h2))] * (bs - n))
         ctx_mask = jnp.stack(ms + [jnp.zeros((s, t), bool)] * (bs - n))
+        if self._bsh is not None:
+            # shard the micro-batch over the mesh's "data" axis (the cached
+            # context states arrive replicated-committed; reshard explicitly)
+            mi = jax.device_put(mi, self._bsh)
+            h_ctx = jax.device_put(h_ctx, self._bsh)
+            ctx_mask = jax.device_put(ctx_mask, self._bsh)
 
         logits, seq_attn = self._answer(self.store.params, self.store.shared, mi,
                                         h_ctx, ctx_mask, self.store.vocab_table)
@@ -453,11 +484,13 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
 def build_engine(packdir: str, rundir: str, load_best: bool = True,
                  batch_size: int = 8, max_cache_bytes: int | None = None,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None, dp: int = 1):
     """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
 
     max_cache_bytes bounds the album-encoding cache (LRU eviction); cache_dir,
-    if it holds a previously saved cache, is restored instead of re-encoding."""
+    if it holds a previously saved cache, is restored instead of re-encoding.
+    dp > 1 serves over a data-parallel device mesh: params/tables replicated,
+    each query micro-batch sharded over the mesh's "data" axis."""
     from fvta_memexqa_tpu.checkpoint import CheckpointManager
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data.pack import load_pack
@@ -476,8 +509,14 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
     ckpt = CheckpointManager(rundir, cfg)
     state = ckpt.restore(state, best=load_best)
     vocab = vocab_view(packed.meta)
+    mesh = None
+    if dp > 1:
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data_parallel=dp))
     store = AlbumStore(cfg, model, state.params, shared, vocab,
-                       max_bytes=max_cache_bytes)
+                       max_bytes=max_cache_bytes, mesh=mesh)
     if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
         n = store.load(cache_dir)
         print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
@@ -498,6 +537,9 @@ def main(argv):
                    help="byte budget for the album-encoding cache (LRU eviction)")
     p.add_argument("--cache-dir", default=None,
                    help="persist/restore the album-encoding cache here")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for the query step (multi-chip "
+                        "serving; batch-size must divide by it)")
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
@@ -507,7 +549,7 @@ def main(argv):
         args.packdir, args.rundir, load_best=not args.load_latest,
         batch_size=args.batch_size,
         max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
-        cache_dir=args.cache_dir)
+        cache_dir=args.cache_dir, dp=args.dp)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info

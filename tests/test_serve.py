@@ -131,6 +131,67 @@ class TestQAEngine:
             engine.close()
 
 
+class TestMeshServing:
+    """Multi-chip serving: params/tables replicated over a DP mesh, the query
+    micro-batch sharded over "data" — answers identical to single-device."""
+
+    @pytest.fixture(scope="class")
+    def mesh_store(self, served, small_config):
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        model, params, shared, store, albums, feats = served
+        mesh = make_mesh(MeshConfig(data_parallel=4))
+        s = AlbumStore(small_config, model, params, shared, store.vocab, mesh=mesh)
+        for a in albums.values():
+            s.ingest(a, feats)
+        return s, albums, feats
+
+    def test_sharded_answers_match_single_device(self, served, mesh_store):
+        *_, store, albums, feats = served
+        s_mesh, _, _ = mesh_store
+        e1 = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        e2 = QAEngine(s_mesh, batch_size=4, batch_window_ms=1.0)
+        try:
+            for aid in ("album0", "album1"):
+                a = albums[aid]
+                q = f"where did we go on {a.title} ?"
+                ch = [a.where, "mars", "narnia", "void"]
+                r1 = e1.ask(q, ch, [aid])
+                r2 = e2.ask(q, ch, [aid])
+                assert r1["answer_index"] == r2["answer_index"]
+                np.testing.assert_allclose(r1["probs"], r2["probs"],
+                                           rtol=1e-5, atol=1e-6)
+        finally:
+            e1.close()
+            e2.close()
+
+    def test_concurrent_load_on_mesh(self, mesh_store):
+        s_mesh, albums, _ = mesh_store
+        engine = QAEngine(s_mesh, batch_size=8, batch_window_ms=10.0)
+        try:
+            results = [None] * 8
+            def worker(i):
+                aid = f"album{i % 3}"
+                a = albums[aid]
+                results[i] = engine.ask(f"what year was {a.title} ?",
+                                        ["2007", "2009", "2011", "2013"], [aid],
+                                        timeout=120.0)
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert all(r is not None and "answer" in r for r in results)
+        finally:
+            engine.close()
+
+    def test_indivisible_batch_rejected(self, mesh_store):
+        s_mesh, *_ = mesh_store
+        with pytest.raises(ValueError, match="divisible"):
+            QAEngine(s_mesh, batch_size=3)
+
+
 class TestHTTP:
     def test_http_roundtrip(self, served):
         import socket
