@@ -89,6 +89,39 @@ class TestDPTrainLoop:
         assert len(leaf.sharding.device_set) == 8
 
 
+class TestDPEval:
+    def test_mesh_eval_with_frozen_tables_matches_single_device(
+            self, packed_synth, small_config):
+        """Full-split evaluation on the DP mesh consuming BOTH per-checkpoint
+        caches (vocab table + pre-projected photo table): metrics must equal
+        the single-device, table-free evaluation."""
+        from fvta_memexqa_tpu.data import Dataset, SharedTables
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.models import FVTAModel
+        from fvta_memexqa_tpu.train import (evaluate, init_state, make_eval_step,
+                                            make_eval_tables)
+
+        cfg = small_config.replace(mesh=MeshConfig(data_parallel=8))
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(8))))
+        model = FVTAModel(cfg=cfg)
+        state = init_state(cfg, model, shared, batch)
+        eval_step = make_eval_step(cfg, model)
+
+        ref = evaluate(eval_step, state.params, shared, ds, 8)
+
+        mesh = make_mesh(cfg.mesh)
+        shared_r = jax.device_put(shared, replicated(mesh))
+        params_r = jax.device_put(state.params, replicated(mesh))
+        vt, pt = make_eval_tables(model, params_r, shared_r)
+        got = evaluate(eval_step, params_r, shared_r, ds, 8, mesh=mesh,
+                       vocab_table=vt, photo_table=pt)
+        assert got["count"] == ref["count"]
+        assert got["acc"] == pytest.approx(ref["acc"], abs=1e-6)
+        assert got["loss"] == pytest.approx(ref["loss"], rel=1e-5)
+
+
 class TestCPAttention:
     def make_case(self, n=2, s=4, t=32, j=5, d=8, seed=0):
         rng = np.random.default_rng(seed)
