@@ -182,6 +182,9 @@ def cmd_test(argv):
     p.add_argument("--split", default="test")
     p.add_argument("--no-album-cache", action="store_true",
                    help="disable album-encoding dedup (reference-shaped eval)")
+    p.add_argument("--dump-attention", default=None, metavar="PATH",
+                   help="write per-question FVTA attention maps + predictions "
+                        "to this .npz (qualitative-analysis tensors)")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data import load_pack
@@ -192,7 +195,8 @@ def cmd_test(argv):
     cfg = _config_from_args(args, base=saved).replace(data=packed.cfg)
     m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
              metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
-             album_cache=not args.no_album_cache)
+             album_cache=not args.no_album_cache,
+             attention_path=args.dump_attention)
     print(json.dumps({"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
                       "count": m["count"]}))
 

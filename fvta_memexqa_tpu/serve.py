@@ -421,11 +421,45 @@ class QAEngine:
 # ---- HTTP surface ------------------------------------------------------------
 
 
+class RateLimiter:
+    """Thread-safe sliding-window request limiter (per-process, all clients).
+
+    Serving hardening: bounds how many requests enter the engine per second so
+    a misbehaving client degrades to 429s instead of queueing unbounded work
+    in front of everyone's deadlines. None = unlimited."""
+
+    def __init__(self, max_per_sec: float | None):
+        self.max_per_sec = max_per_sec
+        self._times: list[float] = []
+        self._lock = threading.Lock()
+
+    def allow(self) -> bool:
+        if self.max_per_sec is None:
+            return True
+        now = time.monotonic()
+        with self._lock:
+            cutoff = now - 1.0
+            while self._times and self._times[0] < cutoff:
+                self._times.pop(0)
+            if len(self._times) >= self.max_per_sec:
+                return False
+            self._times.append(now)
+            return True
+
+
 def serve_http(engine: QAEngine, store: AlbumStore,
-               photo_feats: dict[str, np.ndarray], port: int = 8777):
+               photo_feats: dict[str, np.ndarray], port: int = 8777,
+               auth_token: str | None = None,
+               max_requests_per_sec: float | None = None):
+    """auth_token: if set, every request must carry
+    `Authorization: Bearer <token>` (constant-time compare) or it gets 401.
+    max_requests_per_sec: sliding-window limit → 429 when exceeded."""
+    import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from fvta_memexqa_tpu.data.schema import parse_album_info
+
+    limiter = RateLimiter(max_requests_per_sec)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -439,16 +473,35 @@ def serve_http(engine: QAEngine, store: AlbumStore,
             self.end_headers()
             self.wfile.write(body)
 
+        def _gate(self) -> bool:
+            """Auth + rate-limit preamble shared by every endpoint."""
+            if auth_token is not None:
+                got = self.headers.get("Authorization", "")
+                want = f"Bearer {auth_token}"
+                if not hmac.compare_digest(got.encode(), want.encode()):
+                    self._json(401, {"error": "unauthorized"})
+                    return False
+            if not limiter.allow():
+                self._json(429, {"error": "rate limit exceeded, retry later"})
+                return False
+            return True
+
         def do_GET(self):
+            if not self._gate():
+                return
             if self.path == "/stats":
                 self._json(200, {"albums": store.num_albums,
                                  "cache_bytes": store.cache_bytes,
                                  "evictions": store.evictions,
                                  **engine.stats, **engine.latency_stats()})
+            elif self.path == "/healthz":
+                self._json(200, {"ok": True})
             else:
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if not self._gate():
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -540,6 +593,10 @@ def main(argv):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices for the query step (multi-chip "
                         "serving; batch-size must divide by it)")
+    p.add_argument("--auth-token", default=None,
+                   help="require 'Authorization: Bearer <token>' on every request")
+    p.add_argument("--max-rps", type=float, default=None,
+                   help="sliding-window request limit per second (429 beyond)")
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
@@ -562,4 +619,5 @@ def main(argv):
     if args.cache_dir:
         store.save(args.cache_dir)
         print(f"saved album cache to {args.cache_dir}", flush=True)
-    serve_http(engine, store, feats, port=args.port)
+    serve_http(engine, store, feats, port=args.port, auth_token=args.auth_token,
+               max_requests_per_sec=args.max_rps)

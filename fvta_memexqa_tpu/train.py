@@ -170,15 +170,22 @@ def make_eval_tables(model: FVTAModel, params, shared: SharedTables):
 
 def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
              batch_size: int, mesh=None, vocab_table=None,
-             photo_table=None) -> dict:
+             photo_table=None, prefetch: int = 0) -> dict:
     """Full-split evaluation → {"acc", "loss", "count"} (reference tester.py).
 
     Per-batch metrics accumulate ON DEVICE and are fetched once at the end — a
     float() per batch would force a host sync each step (very expensive through
     this box's tunnel, and needless anywhere)."""
+    xfer = (lambda b: shard_batch(mesh, b)) if mesh else device_put_batch
+    batch_it = dataset.get_batches(batch_size, shuffle=False)
+    if prefetch > 0:
+        from fvta_memexqa_tpu.data.stream import Prefetcher
+
+        batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
     totals = None
-    for batch in dataset.get_batches(batch_size, shuffle=False):
-        batch = shard_batch(mesh, batch) if mesh else device_put_batch(batch)
+    for batch in batch_it:
+        if prefetch <= 0:
+            batch = xfer(batch)
         m = eval_step(params, shared, batch, vocab_table, photo_table)
         totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
@@ -318,14 +325,52 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             "shared": shared, "mesh": mesh}
 
 
+def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
+                   dataset: Dataset, batch_size: int, path: str) -> int:
+    """Write per-question FVTA attention maps + predictions to an .npz:
+    qid [N], pred [N], label [N], probs [N,4], time_attn [N,S,T] (focal
+    within-sequence weights), seq_attn [N,S] (across-sequence weights) —
+    the tensors behind the paper's qualitative attention visualizations.
+    Returns the number of examples written."""
+    import numpy as np
+
+    vt, pt = make_eval_tables(model, params, shared)
+
+    @jax.jit
+    def step(p, sh, b):
+        mi = assemble(sh, b, pt)
+        out = model.apply(p, sh, mi, train=False, vocab_table=vt)
+        return (jax.nn.softmax(out.logits), out.attention.time_attn,
+                out.attention.seq_attn)
+
+    rows = {"qid": [], "pred": [], "label": [], "probs": [],
+            "time_attn": [], "seq_attn": []}
+    qids = dataset.qids
+    seen = 0
+    for batch in dataset.get_batches(batch_size, shuffle=False):
+        probs, ta, sa = jax.tree.map(np.asarray,
+                                     step(params, shared, device_put_batch(batch)))
+        keep = np.asarray(batch.ex_mask)
+        rows["qid"].append(qids[seen: seen + int(keep.sum())])
+        rows["pred"].append(np.argmax(probs, -1)[keep])
+        rows["label"].append(np.asarray(batch.label)[keep])
+        rows["probs"].append(probs[keep])
+        rows["time_attn"].append(ta[keep])
+        rows["seq_attn"].append(sa[keep])
+        seen += int(keep.sum())
+    np.savez_compressed(path, **{k: np.concatenate(v) for k, v in rows.items()})
+    return seen
+
+
 def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
          split: str = "test", metrics_path: str | None = None, echo: bool = True,
-         album_cache: bool = True) -> dict:
+         album_cache: bool = True, attention_path: str | None = None) -> dict:
     """Reference main.py --is_test: restore (best) checkpoint, report accuracy.
 
     album_cache=True (default) dedupes context encoding across questions via
     eval_cache.py — identical logits, much faster on album-heavy splits;
     album_cache=False is the reference-shaped full re-encode per question.
+    attention_path: also dump per-question attention maps (dump_attention).
     """
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
@@ -350,5 +395,9 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],
             wall_s=timer.samples[0])
+    if attention_path:
+        n = dump_attention(cfg, model, state.params, shared, ds,
+                           cfg.train.eval_batch_size, attention_path)
+        log.log("attention_dump", split=split, path=attention_path, count=n)
     log.close()
     return m

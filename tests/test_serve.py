@@ -271,6 +271,80 @@ class TestHTTP:
         engine.close()
 
 
+class TestAuthAndRateLimit:
+    """serve_http hardening: bearer-token auth (401), sliding-window rate
+    limit (429), /healthz."""
+
+    @staticmethod
+    def _start(served, **kwargs):
+        import socket
+        import time as _time
+
+        from fvta_memexqa_tpu import serve as serve_mod
+
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        th = threading.Thread(
+            target=serve_mod.serve_http,
+            args=(engine, store, feats, port), kwargs=kwargs, daemon=True)
+        th.start()
+        _time.sleep(0.3)
+        return engine, f"http://127.0.0.1:{port}"
+
+    @staticmethod
+    def _get(url, token=None):
+        import urllib.error
+
+        req = urllib.request.Request(url)
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            return json.load(urllib.request.urlopen(req, timeout=10)), 200
+        except urllib.error.HTTPError as e:
+            return json.loads(e.read() or b"{}"), e.code
+
+    def test_healthz(self, served):
+        engine, base = self._start(served)
+        try:
+            body, code = self._get(f"{base}/healthz")
+            assert code == 200 and body == {"ok": True}
+        finally:
+            engine.close()
+
+    def test_auth_required_and_accepted(self, served):
+        engine, base = self._start(served, auth_token="s3cret")
+        try:
+            _, code = self._get(f"{base}/stats")
+            assert code == 401
+            _, code = self._get(f"{base}/stats", token="wrong")
+            assert code == 401
+            body, code = self._get(f"{base}/stats", token="s3cret")
+            assert code == 200 and "albums" in body
+        finally:
+            engine.close()
+
+    def test_rate_limit_429(self, served):
+        engine, base = self._start(served, max_requests_per_sec=3)
+        try:
+            codes = [self._get(f"{base}/healthz")[1] for _ in range(8)]
+            assert codes.count(200) == 3
+            assert codes.count(429) == 5
+        finally:
+            engine.close()
+
+    def test_rate_limiter_window_slides(self):
+        from fvta_memexqa_tpu.serve import RateLimiter
+
+        rl = RateLimiter(2)
+        assert rl.allow() and rl.allow() and not rl.allow()
+        rl._times = [t - 1.5 for t in rl._times]  # age the window
+        assert rl.allow()
+
+
 class TestHardening:
     """Round-1 verdict item 7: LRU eviction, 503 on timeout, cache persistence,
     load test with a latency bound."""

@@ -62,6 +62,24 @@ class TestOverfit:
         assert m["acc"] == 1.0  # restored params reproduce the overfit exactly
         assert m["count"] == Dataset(packed_synth, "train").n
 
+    def test_attention_dump(self, packed_synth, trained, tmp_path):
+        """test(attention_path=...) writes the qualitative-analysis tensors,
+        consistent with the reported metrics."""
+        cfg, res, out = trained
+        path = str(tmp_path / "attn.npz")
+        m = run_test(cfg, packed_synth, out, load_best=True, split="train",
+                     echo=False, attention_path=path)
+        z = np.load(path)
+        n = Dataset(packed_synth, "train").n
+        d, s = cfg.data, cfg.data.max_albums * 6
+        assert z["time_attn"].shape == (n, s, d.max_context_time)
+        assert z["seq_attn"].shape == (n, s)
+        assert z["probs"].shape == (n, 4)
+        np.testing.assert_allclose(z["probs"].sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(z["seq_attn"].sum(-1), 1.0, rtol=1e-4)
+        assert (z["pred"] == z["label"]).mean() == pytest.approx(m["acc"], abs=1e-6)
+        assert len(set(z["qid"])) == n
+
     def test_resume_continues_from_checkpoint(self, packed_synth, tmp_path):
         out = str(tmp_path / "resume_run")
         cfg = overfit_config(packed_synth, num_epochs=2)
