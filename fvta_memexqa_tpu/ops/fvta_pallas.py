@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, fvta_attention, similarity_tensor
+from fvta_memexqa_tpu.ops.fvta_ref import (AttentionOutput, focal_local_stats,
+                                            fvta_attention, similarity_tensor)
 
 NEG = -1e30
 
@@ -122,6 +123,108 @@ def _kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
         wq = jnp.exp(qv)
         wq = wq / jnp.sum(wq, axis=-1, keepdims=True)               # [1, J]
         qatt_ref[0, 0] = jnp.dot(wq, q, preferred_element_type=jnp.float32)[0]
+
+
+def _stats_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
+                  m_ref, den_ref, v_ref, eq_ref, e_ref,
+                  run_max, run_den, run_v, qmx, *, num_tblocks: int):
+    """Stats-mode body: identical blockwise online pass as _kernel, but instead
+    of finalizing the two-level softmax it EMITS the per-shard statistics
+    (fvta_ref.focal_local_stats semantics) — the per-device engine under
+    context parallelism (parallel/cp.py composes them across the mesh)."""
+    tb_i = pl.program_id(1)
+    s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    j = q_ref.shape[1]
+
+    @pl.when(tb_i == 0)
+    def _init():
+        run_max[:] = jnp.full_like(run_max, NEG)
+        run_den[:] = jnp.zeros_like(run_den)
+        run_v[:] = jnp.zeros_like(run_v)
+        qmx[:] = jnp.full_like(qmx, NEG)
+
+    h = h_ref[0]                                   # [S, Tb, D]
+    cm = cm_ref[0]                                 # [S, Tb] f32
+    q = q_ref[0]                                   # [J, D]
+    qm = qm_ref[0]                                 # [1, J] f32
+
+    hf = h.reshape(s * tb, d)
+    c = jax.lax.dot_general(hf * wxy_ref[0], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).reshape(s, tb, j)
+    sx = jnp.sum(h * wx_ref[0], axis=-1, keepdims=True)
+    sy = jnp.sum(q * wy_ref[0], axis=-1, keepdims=True).T.reshape(1, 1, j)
+    c = c + sx + sy
+
+    c_jmasked = c + (1.0 - qm.reshape(1, 1, j)) * NEG
+    e = jnp.max(c_jmasked, axis=-1)
+    e = e + (1.0 - cm) * NEG
+    e_ref[0] = e                                   # this block's masked scores
+
+    m_old = run_max[:]
+    m_new = jnp.maximum(m_old, jnp.max(e, axis=-1, keepdims=True))
+    scale = jnp.exp(m_old - m_new)
+    p = jnp.exp(e - m_new)
+    run_den[:] = run_den[:] * scale + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p[:, None, :], h, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)[:, 0, :]
+    run_v[:] = run_v[:] * scale + pv
+    run_max[:] = m_new
+
+    c_smasked = c + (1.0 - cm[:, :, None]) * NEG
+    qmx[:] = jnp.maximum(qmx[:], jnp.max(c_smasked, axis=(0, 1)).reshape(1, j))
+
+    @pl.when(tb_i == num_tblocks - 1)
+    def _finalize():
+        m_ref[0, 0] = run_max[:].reshape(1, s)[0]
+        den_ref[0, 0] = run_den[:].reshape(1, s)[0]
+        v_ref[0] = run_v[:]
+        eq_ref[0, 0] = qmx[:][0]
+
+
+def _fvta_stats_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int,
+                            interpret: bool):
+    n, s, t, d = h.shape
+    j = q.shape[1]
+    nt = t // tblock
+    kernel = functools.partial(_stats_kernel, num_tblocks=nt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, s, tblock, d), lambda ni, ti: (ni, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, s), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+            # e streams back block by block (the only O(T) output)
+            pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((n, s, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, j), jnp.float32),
+            jax.ShapeDtypeStruct((n, s, t), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, 1), jnp.float32),    # run_max
+            pltpu.VMEM((s, 1), jnp.float32),    # run_den
+            pltpu.VMEM((s, d), jnp.float32),    # run_v
+            pltpu.VMEM((1, j), jnp.float32),    # qmx
+        ],
+        interpret=interpret,
+    )(h, cm_f, q, qm_f, wx, wy, wxy)
 
 
 def _fvta_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int, interpret: bool):
@@ -242,3 +345,74 @@ def _core_bwd(tblock, interpret, res, g):
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stats mode: the per-shard engine for context parallelism (parallel/cp.py).
+# Same blockwise online pass, but returns focal_local_stats' (m, den, v, eq, e)
+# instead of finalizing — CP composes them across devices with psum/pmax.
+# ---------------------------------------------------------------------------
+
+
+def fvta_stats_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: dict,
+                      tblock: int | None = None, interpret: bool | None = None):
+    """Fused drop-in for ops/fvta_ref.focal_local_stats: streams the time axis
+    in VMEM-resident blocks, never materializing the [N, S, Tl, J] correlation
+    of the local shard. bilinear falls back to the XLA stats (same reasoning
+    as fvta_attention_pallas). Differentiable (custom_vjp rematerializes the
+    XLA stats math)."""
+    d = h.shape[-1]
+    if similarity not in ("trilinear", "dot"):
+        return focal_local_stats(h, ctx_mask, q, q_mask, similarity, sim_params)
+    if similarity == "trilinear":
+        wx, wy, wxy = sim_params["w_x"], sim_params["w_y"], sim_params["w_xy"]
+    else:
+        wx = jnp.zeros(d, h.dtype)
+        wy = jnp.zeros(d, h.dtype)
+        wxy = jnp.ones(d, h.dtype)
+    return _stats_core(h, ctx_mask.astype(jnp.float32), q,
+                       q_mask.astype(jnp.float32), wx, wy, wxy, tblock, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _stats_core(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    return _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret)
+
+
+def _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    n, s, t, d = h.shape
+    # Same Mosaic sublane-underflow workaround as _core_fwd_impl: padded
+    # sequences are fully masked and sliced back off every output.
+    s_pad = max(s, 8)
+    if s_pad != s:
+        h = jnp.pad(h, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        cm_f = jnp.pad(cm_f, ((0, 0), (0, s_pad - s), (0, 0)))
+    tb = tblock or _pick_tblock(t)
+    m, den, v, eq, e = _fvta_stats_pallas_call(
+        h, cm_f, q, qm_f[:, None, :], wx[None], wy[None], wxy[None], tb, interpret
+    )
+    return (m[:, 0, :s], den[:, 0, :s], v[:, :s], eq[:, 0], e[:, :s])
+
+
+def _stats_fwd(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
+    out = _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret)
+    return out, (h, cm_f, q, qm_f, wx, wy, wxy)
+
+
+def _stats_bwd(tblock, interpret, res, g):
+    # res holds _stats_core's own (unpadded) arguments; the S>=8 padding is
+    # internal to _stats_fwd_impl, so shapes here match the primal exactly.
+    h, cm_f, q, qm_f, wx, wy, wxy = res
+
+    def ref(h_, q_, wx_, wy_, wxy_):
+        return focal_local_stats(h_, cm_f > 0.5, q_, qm_f > 0.5, "trilinear",
+                                 {"w_x": wx_, "w_y": wy_, "w_xy": wxy_})
+
+    _, vjp = jax.vjp(ref, h, q, wx, wy, wxy)
+    dh, dq, dwx, dwy, dwxy = vjp(g)
+    return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f), dwx, dwy, dwxy)
+
+
+_stats_core.defvjp(_stats_fwd, _stats_bwd)

@@ -122,6 +122,34 @@ def no_attention(
     return AttentionOutput(ctx, q_att, z_t, z_t.any(axis=-1).astype(h.dtype) * 0.0)
 
 
+def focal_local_stats(
+    h: jnp.ndarray, ctx_mask: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray,
+    kind: str, params: dict[str, jnp.ndarray],
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-(time-)shard ONLINE-softmax statistics of the focal attention.
+
+    The decomposition that makes both the fused Pallas kernel
+    (ops/fvta_pallas.fvta_stats_pallas streams these over time blocks) and
+    context parallelism (parallel/cp.py psum/pmax-composes them across devices)
+    exact: for a time shard h [N, S, Tl, D] returns
+        m   [N, S]     local max of the time-level scores E
+        den [N, S]     sum_t exp(E - m)
+        v   [N, S, D]  sum_t exp(E - m) * h[:, :, t]
+        eq  [N, J]     local max over (s, t) of the ctx-masked correlation
+        e   [N, S, Tl] the masked time-level scores themselves (attention maps)
+    Composing (m, den, v) across shards with (max, rescaled-sum, rescaled-sum)
+    and eq with max reproduces fvta_attention exactly (tested)."""
+    c = similarity_tensor(h, q, kind, params)                        # [N, S, Tl, J]
+    e = jnp.max(exp_mask(c, q_mask[:, None, None, :]), axis=-1)      # [N, S, Tl]
+    e = exp_mask(e, ctx_mask)
+    m = jnp.max(e, axis=-1)                                          # [N, S]
+    p = jnp.exp(e - m[..., None])
+    den = jnp.sum(p, axis=-1)                                        # [N, S]
+    v = jnp.einsum("nst,nstd->nsd", p, h)                            # [N, S, D]
+    eq = jnp.max(exp_mask(c, ctx_mask[..., None]), axis=(1, 2))      # [N, J]
+    return m, den, v, eq, e
+
+
 def _question_side(
     c: jnp.ndarray, ctx_mask: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray
 ) -> jnp.ndarray:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, similarity_tensor
+from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, focal_local_stats
 from fvta_memexqa_tpu.ops.masking import VERY_NEGATIVE
 
 
@@ -62,35 +62,26 @@ def _diff_pmax_bwd(axis_name, res, g):
 _diff_pmax.defvjp(_diff_pmax_fwd, _diff_pmax_bwd)
 
 
-def _local_stats(h, cm, q, qm, similarity: str, sim_params: dict):
-    """Per-shard online-softmax statistics of the focal attention.
-
-    h [N, S, Tl, D] (local time shard), cm bool [N, S, Tl], q [N, J, D], qm [N, J].
-    Returns (m [N,S], den [N,S], v [N,S,D], eq [N,J]) with den/v referenced to the
-    LOCAL max m.
-    """
-    c = similarity_tensor(h, q, similarity, sim_params)            # [N, S, Tl, J]
-    cj = c + (1.0 - qm[:, None, None, :].astype(c.dtype)) * VERY_NEGATIVE
-    e = jnp.max(cj, axis=-1)                                       # [N, S, Tl]
-    e = e + (1.0 - cm.astype(e.dtype)) * VERY_NEGATIVE
-    m = jnp.max(e, axis=-1)                                        # [N, S]
-    p = jnp.exp(e - m[..., None])                                  # [N, S, Tl]
-    den = jnp.sum(p, axis=-1)                                      # [N, S]
-    v = jnp.einsum("nst,nstd->nsd", p, h)                          # [N, S, D]
-    cs = c + (1.0 - cm[..., None].astype(c.dtype)) * VERY_NEGATIVE
-    eq = jnp.max(cs, axis=(1, 2))                                  # [N, J]
-    return m, den, v, eq, e
-
-
 def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
-                      axis_name: str = "ctx") -> AttentionOutput:
+                      axis_name: str = "ctx", use_pallas: bool = False
+                      ) -> AttentionOutput:
     """FVTA attention inside shard_map, context time axis sharded over `axis_name`.
 
     Returns AttentionOutput with context/question/seq_attn REPLICATED across the
     axis and time_attn SHARDED like h (each device holds its shard's weights).
     Numerically identical to the unsharded ops/fvta_ref.fvta_attention.
-    """
-    m, den, v, eq, e = _local_stats(h, cm, q, qm, similarity, sim_params)
+
+    The per-shard statistics come from fvta_ref.focal_local_stats (XLA) or,
+    with use_pallas, from the fused blockwise kernel
+    (ops/fvta_pallas.fvta_stats_pallas) — the same online (m, den, v) triple
+    streamed over time blocks in VMEM so the local [N, S, Tl, J] correlation
+    never materializes even within a shard. Both parity-tested."""
+    if use_pallas:
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        m, den, v, eq, e = fvta_stats_pallas(h, cm, q, qm, similarity, sim_params)
+    else:
+        m, den, v, eq, e = focal_local_stats(h, cm, q, qm, similarity, sim_params)
 
     m_g = _diff_pmax(m, axis_name)                                 # [N, S]
     scale = jnp.exp(m - m_g)
@@ -116,16 +107,19 @@ def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
                            time_attn=time_attn, seq_attn=b)
 
 
-def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx"):
+def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx",
+                      use_pallas: bool = False):
     """shard_map-wrapped CP attention: h/cm sharded on the time axis over
-    `axis_name`, everything else replicated. Call like the reference attention."""
+    `axis_name`, everything else replicated. Call like the reference attention.
+    use_pallas: per-shard stats via the fused blockwise kernel."""
     try:
         from jax import shard_map  # jax >= 0.7 canonical location
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
     def fn(h, cm, q, qm, sim_params):
-        return fvta_attention_cp(h, cm, q, qm, similarity, sim_params, axis_name)
+        return fvta_attention_cp(h, cm, q, qm, similarity, sim_params, axis_name,
+                                 use_pallas)
 
     return shard_map(
         fn,

@@ -89,6 +89,77 @@ class TestFVTAPallasParity:
                      ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-4)
 
 
+class TestFVTAStatsPallas:
+    """Stats mode (the CP per-shard engine): parity vs focal_local_stats,
+    blockwise invariance, tiny-S padding path, gradient parity."""
+
+    @staticmethod
+    def _stats_ref(h, cm, q, qm, kind="trilinear", p=None):
+        from fvta_memexqa_tpu.ops.fvta_ref import focal_local_stats
+
+        return focal_local_stats(h, cm, q, qm, kind, p or {})
+
+    def assert_stats_close(self, a, b, rtol=1e-5, atol=1e-5):
+        for x, y, name in zip(a, b, ("m", "den", "v", "eq", "e")):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=rtol, atol=atol, err_msg=name)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_xla_stats(self, seed):
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        h, cm, q, qm, p = make_case(seed=seed)
+        self.assert_stats_close(fvta_stats_pallas(h, cm, q, qm, "trilinear", p),
+                                self._stats_ref(h, cm, q, qm, "trilinear", p))
+
+    @pytest.mark.parametrize("tblock", [2, 4, 8])
+    def test_blockwise_invariant(self, tblock):
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        h, cm, q, qm, p = make_case(t=8, seed=2)
+        self.assert_stats_close(
+            fvta_stats_pallas(h, cm, q, qm, "trilinear", p, tblock=tblock),
+            self._stats_ref(h, cm, q, qm, "trilinear", p))
+
+    def test_thin_s_padded_not_fallback(self):
+        """TGIF-style thin S (< 8): stats mode pads to the sublane minimum and
+        slices back — results identical to the XLA stats."""
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        h, cm, q, qm, p = make_case(s=2, t=16, seed=3)
+        self.assert_stats_close(fvta_stats_pallas(h, cm, q, qm, "trilinear", p),
+                                self._stats_ref(h, cm, q, qm, "trilinear", p))
+
+    def test_dead_sequence(self):
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        h, cm, q, qm, p = make_case(t=8, seed=4)
+        cm = np.asarray(cm).copy()
+        cm[:, 0, :] = False
+        cm = jnp.asarray(cm)
+        self.assert_stats_close(fvta_stats_pallas(h, cm, q, qm, "trilinear", p),
+                                self._stats_ref(h, cm, q, qm, "trilinear", p))
+
+    def test_grads_match_xla_stats(self):
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+
+        h, cm, q, qm, p = make_case(seed=5)
+
+        def loss(fn):
+            def f(h_, q_, p_):
+                m, den, v, eq, e = fn(h_, cm, q_, qm, "trilinear", p_)
+                # den/v/eq feed real losses; e/m via a smooth mix of valid terms
+                return ((v**2).sum() + (jnp.log(den)).sum() + (eq * 0.1).sum()
+                        + jnp.where(cm, e, 0.0).sum() * 1e-3)
+            return f
+
+        g_p = jax.grad(loss(fvta_stats_pallas), argnums=(0, 1, 2))(h, q, p)
+        g_r = jax.grad(loss(self._stats_ref), argnums=(0, 1, 2))(h, q, p)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestFVTAPallasGrad:
     def test_grads_match_ref(self):
         h, cm, q, qm, p = make_case(seed=8)

@@ -154,6 +154,43 @@ class TestCPAttention:
         np.testing.assert_allclose(np.asarray(out.seq_attn), np.asarray(ref.seq_attn),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("cp", [2, 4])
+    def test_cp_with_pallas_stats_matches(self, cp):
+        """CP with the fused Pallas per-shard stats engine (interpret mode on
+        CPU): identical to the unsharded reference attention."""
+        h, cm, q, qm, params = self.make_case(seed=11)
+        ref = fvta_attention(h, cm, q, qm,
+                             similarity_tensor(h, q, "trilinear", params))
+        mesh = make_mesh(MeshConfig(data_parallel=8 // cp, context_parallel=cp))
+        cp_attn = make_cp_attention(mesh, "trilinear", use_pallas=True)
+        h_s, cm_s = shard_context(mesh, h, cm)
+        out = jax.jit(cp_attn)(h_s, cm_s, q, qm, params)
+        for got, want, name in zip(out, ref,
+                                   ("context", "question", "time_attn", "seq_attn")):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+
+    def test_cp_pallas_grads_flow(self):
+        h, cm, q, qm, params = self.make_case(seed=12)
+        mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=4))
+        cp_attn = make_cp_attention(mesh, "trilinear", use_pallas=True)
+        h_s, cm_s = shard_context(mesh, h, cm)
+
+        def loss(h_, p_):
+            o = cp_attn(h_, cm_s, q, qm, p_)
+            return (o.context ** 2).sum() + (o.question ** 2).sum()
+
+        def loss_ref(h_, p_):
+            o = fvta_attention(h_, cm, q, qm,
+                               similarity_tensor(h_, q, "trilinear", p_))
+            return (o.context ** 2).sum() + (o.question ** 2).sum()
+
+        g_cp = jax.jit(jax.grad(loss, argnums=(0, 1)))(h_s, params)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(h, params)
+        for a, b in zip(jax.tree.leaves(g_cp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_cp_with_dead_shard(self):
         """An entire device's time shard can be padding; stats must compose."""
         h, cm, q, qm, params = self.make_case(t=32, seed=3)
