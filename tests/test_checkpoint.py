@@ -13,7 +13,10 @@ from fvta_memexqa_tpu.checkpoint import CheckpointManager
 from fvta_memexqa_tpu.train import train as run_train
 
 
-def cfg_for(packed, num_epochs, val_period=1000, save_period=3):
+def cfg_for(packed, num_epochs, val_period=1000, save_period=6):
+    # save_period=6 puts a checkpoint exactly at the kill point (step 6) while
+    # keeping the orbax save count low — async saves dominate this test's wall
+    # time on the 1-core box.
     cfg = Config()
     return cfg.replace(
         data=packed.cfg,
@@ -37,7 +40,7 @@ class TestFaultInjection:
         res_a = run_train(cfg3, packed_synth, straight, echo=False)
 
         # "kill" mid-epoch: train split has ceil(16/4)=4 batches/epoch; stop at
-        # step 6 = epoch 1, batch 2 (save_period=3 guarantees a ckpt at step 6)
+        # step 6 = epoch 1, batch 2 (save_period=6 guarantees a ckpt at step 6)
         res_k1 = run_train(cfg3, packed_synth, killed, num_steps=6, echo=False)
         assert res_k1["steps"] == 6
         res_k2 = run_train(cfg3, packed_synth, killed, echo=False)

@@ -181,7 +181,10 @@ def test_model_pallas_path_matches_ref_path(packed_synth, small_config):
     from fvta_memexqa_tpu.models import FVTAModel
 
     shared = SharedTables.from_packed(packed_synth.shared)
-    batch = device_put_batch(next(iter(Dataset(packed_synth, "train").get_batches(4))))
+    # batch of 2: this runs the fused kernels in INTERPRET mode on CPU (the
+    # suite's single most expensive test); component-level parity runs at
+    # larger shapes in the kernel tests above, this checks the composition.
+    batch = device_put_batch(next(iter(Dataset(packed_synth, "train").get_batches(2))))
     mi = assemble(shared, batch)
     mc = small_config.model
     cfg_ref = small_config.replace(

@@ -118,6 +118,187 @@ class TestCharCNNVsTF:
         np.testing.assert_allclose(out_j, out_t, rtol=1e-5, atol=1e-6)
 
 
+NEG = -1e30
+
+
+def _tf_bilstm(p_fw, p_bw, x, mask, h):
+    """tf.nn.bidirectional_dynamic_rnn semantics out of Keras pieces: forward
+    LSTM with mask; backward = reverse_sequence → forward LSTM → reverse_sequence
+    (exactly TF1's construction). Outputs zeroed past length (dynamic_rnn);
+    returns (out [N,T,2H] np, fin [N,2H] np)."""
+    lens = mask.sum(1).astype(np.int32)
+
+    def run(p, xx):
+        layer = tf.keras.layers.LSTM(
+            h, activation="tanh", recurrent_activation="sigmoid",
+            return_sequences=True, return_state=True, unit_forget_bias=False)
+        layer.build((None, xx.shape[1], xx.shape[2]))
+        layer.set_weights(_to_keras_weights(p))
+        out, hf, _ = layer(tf.constant(xx), mask=tf.constant(mask))
+        return np.asarray(out), np.asarray(hf)
+
+    out_fw, h_fw = run(p_fw, x)
+    x_rev = np.asarray(tf.reverse_sequence(x, lens, seq_axis=1))
+    out_bw_rev, h_bw = run(p_bw, x_rev)
+    out_bw = np.asarray(tf.reverse_sequence(out_bw_rev, lens, seq_axis=1))
+    out = np.concatenate([out_fw, out_bw], -1) * mask[..., None]
+    return out, np.concatenate([h_fw, h_bw], -1)
+
+
+class TestFullModelVsTF:
+    """Whole-forward cross-check: an independent TensorFlow implementation of
+    the canonical FVTA semantics (embed → encoders → focal attention → scorer),
+    fed the SAME parameters, must reproduce the JAX model's logits. This is the
+    strongest in-sandbox accuracy evidence available: every float op of the
+    forward runs twice, once per framework."""
+
+    def _np(self, tree):
+        import jax as _jax
+
+        return _jax.tree.map(np.asarray, tree)
+
+    def tf_forward(self, cfg, P, shared, mi):
+        """Independent TF forward. P: numpy params dict; shared/mi: numpy."""
+        d, m = cfg.data, cfg.model
+        H = m.hidden_dim
+        from fvta_memexqa_tpu.data.tokenize import NUM_SPECIAL, UNK_ID
+
+        # ---- word table (index layout only; float math is gather) ----
+        frozen = shared["word_emb"]
+        trainable = P["word_embed"]["oov_emb"]
+        boundary = NUM_SPECIAL + d.num_glove_words
+        v_ext = max(d.extended_vocab_size, d.word_vocab_size)
+        word_table = np.zeros((v_ext, d.word_emb_dim), np.float32)
+        for i in range(v_ext):
+            wid = UNK_ID if i >= d.word_vocab_size else i
+            if wid == UNK_ID or wid >= boundary:
+                t_id = 0 if wid == UNK_ID else wid - boundary + 1
+                word_table[i] = trainable[min(t_id, len(trainable) - 1)]
+            else:
+                word_table[i] = frozen[wid]
+
+        cc = P["char_cnn"]
+        filt = cc["conv_kernel"].reshape(m.char_cnn_width, m.char_emb_dim,
+                                         m.char_cnn_filters)
+
+        def embed(words, chars):
+            w = word_table[words]
+            emb = cc["char_emb"][chars.reshape(-1, d.max_word_len)]
+            conv = tf.nn.conv1d(tf.constant(emb), tf.constant(filt), stride=1,
+                                padding="VALID") + cc["conv_bias"]
+            c = np.asarray(tf.reduce_max(tf.nn.relu(conv), axis=1)).reshape(
+                words.shape + (m.char_cnn_filters,))
+            x = np.concatenate([w, c], -1)
+            for i in (0, 1):  # highway
+                hh = np.asarray(tf.nn.relu(
+                    tf.constant(x) @ P["highway"][f"h{i}"]["kernel"]
+                    + P["highway"][f"h{i}"]["bias"]))
+                g = np.asarray(tf.nn.sigmoid(
+                    tf.constant(x) @ P["highway"][f"g{i}"]["kernel"]
+                    + P["highway"][f"g{i}"]["bias"]))
+                x = g * hh + (1.0 - g) * x
+            return x.astype(np.float32)
+
+        def bilstm(name, x, mask):
+            p = P[name]
+            return _tf_bilstm(p["fw"], p["bw"], x, mask, H)
+
+        n, A, Pp = mi["photo_feats"].shape[:3]
+        t_ctx = d.max_context_time
+
+        # photo titles: per-photo summaries via the shared word encoder
+        pt_emb = embed(mi["photo_title_words"], mi["photo_title_chars"])
+        _, pt_sum = bilstm("enc_word",
+                           pt_emb.reshape(-1, d.max_sent_len, pt_emb.shape[-1]),
+                           mi["photo_title_mask"].reshape(-1, d.max_sent_len))
+        pt_sum = pt_sum.reshape(n * A, Pp, 2 * H)
+
+        photo_in = np.asarray(
+            tf.constant(mi["photo_feats"].reshape(-1, d.image_feat_dim))
+            @ P["photo_proj"]["kernel"] + P["photo_proj"]["bias"]).reshape(
+                n * A, Pp, -1)
+        at_emb = embed(mi["album_text_words"], mi["album_text_chars"])
+
+        enc_in = [
+            ("enc_photo", photo_in, mi["photo_mask"].reshape(n * A, Pp)),
+            ("enc_photo_title", pt_sum,
+             mi["photo_title_mask"].any(-1).reshape(n * A, Pp)),
+        ]
+        for fi, mod in enumerate(("album_title", "album_desc", "when", "where")):
+            enc_in.append((
+                f"enc_{mod}",
+                at_emb[:, :, fi].reshape(n * A, d.max_album_text_len, -1),
+                mi["album_text_mask"][:, :, fi].reshape(n * A, d.max_album_text_len),
+            ))
+        seqs, masks = [], []
+        for name, x, mk in enc_in:
+            out, _ = bilstm(name, x, mk)
+            pad = t_ctx - out.shape[1]
+            seqs.append(np.pad(out, ((0, 0), (0, pad), (0, 0))))
+            masks.append(np.pad(mk, ((0, 0), (0, pad))))
+        h_ctx = np.stack(seqs, 1).reshape(n, A * 6, t_ctx, 2 * H)
+        cm = np.stack(masks, 1).reshape(n, A * 6, t_ctx)
+
+        # query side
+        q_emb = embed(mi["q_words"], mi["q_chars"])
+        h_q, _ = bilstm("enc_word", q_emb, mi["q_mask"])
+        a_emb = embed(mi["choice_words"], mi["choice_chars"])
+        _, a_sum = bilstm("enc_word",
+                          a_emb.reshape(-1, d.max_answer_len, a_emb.shape[-1]),
+                          mi["choice_mask"].reshape(-1, d.max_answer_len))
+        a_sum = a_sum.reshape(n, 4, 2 * H)
+
+        # FVTA (trilinear) entirely in TF
+        hc = tf.constant(h_ctx)
+        qt = tf.constant(h_q)
+        cmf = tf.cast(tf.constant(cm), tf.float32)
+        qmf = tf.cast(tf.constant(mi["q_mask"]), tf.float32)
+        c = (tf.einsum("nstd,njd->nstj", hc * P["sim_w_xy"], qt)
+             + tf.einsum("nstd,d->nst", hc, tf.constant(P["sim_w_x"]))[..., None]
+             + tf.einsum("njd,d->nj", qt, tf.constant(P["sim_w_y"]))[:, None, None, :])
+        e = tf.reduce_max(c + (1.0 - qmf[:, None, None, :]) * NEG, -1)
+        a_time = tf.nn.softmax(e + (1.0 - cmf) * NEG, -1)
+        v = tf.einsum("nst,nstd->nsd", a_time, hc)
+        seq_mask = tf.cast(tf.reduce_any(tf.constant(cm), -1), tf.float32)
+        g = tf.reduce_max(e + (1.0 - cmf) * NEG, -1)
+        b = tf.nn.softmax(g + (1.0 - seq_mask) * NEG, -1)
+        ctx = tf.einsum("ns,nsd->nd", b, v)
+        eq = tf.reduce_max(c + (1.0 - cmf[..., None]) * NEG, axis=(1, 2))
+        wq = tf.nn.softmax(eq + (1.0 - qmf) * NEG, -1)
+        q_att = tf.einsum("nj,njd->nd", wq, qt)
+
+        # scorer: Dense([ctx; q~; a; ctx*a; q~*a])
+        asum = tf.constant(a_sum)
+        ctx4 = tf.tile(ctx[:, None], (1, 4, 1))
+        qv4 = tf.tile(q_att[:, None], (1, 4, 1))
+        feats = tf.concat([ctx4, qv4, asum, ctx4 * asum, qv4 * asum], -1)
+        logits = tf.einsum("nkf,fo->nko", feats,
+                           tf.constant(P["scorer"]["kernel"])) + P["scorer"]["bias"]
+        return np.asarray(logits)[..., 0]
+
+    def test_full_forward_matches_tf(self, packed_synth, small_config):
+        from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.models import FVTAModel
+
+        shared = SharedTables.from_packed(packed_synth.shared)
+        batch = device_put_batch(next(iter(
+            Dataset(packed_synth, "train").get_batches(4))))
+        mi = assemble(shared, batch)
+        model = FVTAModel(cfg=small_config)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        logits_jax = np.asarray(jax.jit(
+            lambda p: model.apply(p, shared, mi, train=False))(params).logits)
+
+        P = self._np(params["params"])
+        logits_tf = self.tf_forward(small_config, P, self._np(shared.__dict__),
+                                    self._np(mi.__dict__))
+        np.testing.assert_allclose(logits_jax, logits_tf, rtol=1e-4, atol=1e-4)
+        # non-vacuous: logits must actually separate choices
+        assert np.abs(logits_jax - logits_jax.mean(-1, keepdims=True)).max() > 1e-3
+
+
 class TestExpMaskVsTF:
     def test_masked_softmax_matches_tf(self):
         rng = np.random.default_rng(6)
