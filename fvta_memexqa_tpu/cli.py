@@ -207,10 +207,53 @@ def cmd_serve(argv):
     serve_main(argv)
 
 
+def cmd_video_prepro(argv):
+    """Pack raw video QA (qas.jsonl + frame_feats.npz [+ test ids + GloVe])
+    into streaming shards (BASELINE config 4 real-data path)."""
+    p = argparse.ArgumentParser(prog="fvta video-prepro")
+    p.add_argument("qas", help="qas.jsonl (see data/video_pack.py for schema)")
+    p.add_argument("frame_npz", help="frame_feats.npz: video_id -> [T, F]")
+    p.add_argument("outdir")
+    p.add_argument("--test-ids", default=None)
+    p.add_argument("--glove", default=None)
+    p.add_argument("--num-choices", type=int, default=5)
+    p.add_argument("--max-frames", type=int, default=64)
+    p.add_argument("--shard-size", type=int, default=256)
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    _add_dataclass_flags(p, DataConfig)
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.data.video_pack import pack_video, parse_video_qas
+    from fvta_memexqa_tpu.data.vocab import load_glove
+
+    cfg = _dc_from_args(args, DataConfig)
+    qas, errs = parse_video_qas(args.qas)
+    for e in errs[:20]:
+        print(f"video-prepro warning: {e}", file=sys.stderr)
+    test_ids = set()
+    if args.test_ids:
+        with open(args.test_ids) as f:
+            test_ids = {line.strip() for line in f if line.strip()}
+    glove = load_glove(args.glove, cfg.word_emb_dim) if args.glove else None
+    feats = dict(np.load(args.frame_npz))
+    meta = pack_video(qas, feats, test_ids, glove, args.outdir, cfg,
+                      num_choices=args.num_choices, max_frames=args.max_frames,
+                      shard_size=args.shard_size,
+                      val_fraction=args.val_fraction, seed=args.seed)
+    print(json.dumps({"splits": meta["split_sizes"],
+                      "vocab": meta["data_config"]["word_vocab_size"],
+                      "max_frames": meta["max_frames"]}))
+
+
 def cmd_video(argv):
-    """TGIF-QA-style video QA demo (BASELINE.json config 4): train FVTA over
-    synthetic frame-feature sequences and report held-out accuracy."""
+    """TGIF-QA-style video QA (BASELINE.json config 4): train FVTA over frame
+    sequences — synthetic by default, or a video-prepro pack via --data — and
+    report held-out accuracy."""
     p = argparse.ArgumentParser(prog="fvta video")
+    p.add_argument("--data", default=None,
+                   help="packed video dir (video-prepro output); omit for the "
+                        "synthetic demo world")
+    p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--num-videos", type=int, default=96)
     p.add_argument("--num-frames", type=int, default=64)
     p.add_argument("--num-choices", type=int, default=5)
@@ -220,6 +263,8 @@ def cmd_video(argv):
     p.add_argument("--hidden-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.data:
+        return _video_from_pack(args)
 
     import jax
     import jax.numpy as jnp
@@ -289,6 +334,100 @@ def cmd_video(argv):
     }))
 
 
+def cmd_synth_video(argv):
+    """Write a synthetic raw video-QA corpus (qas.jsonl + frame_feats.npz +
+    test_qa.ids) for driving the video-prepro → video --data path."""
+    p = argparse.ArgumentParser(prog="fvta synth-video")
+    p.add_argument("outdir")
+    p.add_argument("--num-videos", type=int, default=48)
+    p.add_argument("--num-frames", type=int, default=32)
+    p.add_argument("--feat-dim", type=int, default=64)
+    p.add_argument("--num-choices", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.data.video_pack import (make_synthetic_video_raw,
+                                                  write_raw_video_files)
+
+    qas, feats, test_ids = make_synthetic_video_raw(
+        num_videos=args.num_videos, num_frames=args.num_frames,
+        feat_dim=args.feat_dim, num_choices=args.num_choices, seed=args.seed)
+    write_raw_video_files(args.outdir, qas, feats, test_ids)
+    print(json.dumps({"outdir": args.outdir, "videos": args.num_videos,
+                      "test": len(test_ids)}))
+
+
+def _video_from_pack(args):
+    """Train/eval the video model over a video-prepro pack (streaming loader)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from fvta_memexqa_tpu.config import Config, ModelConfig
+    from fvta_memexqa_tpu.data.video_pack import (VideoDataset, load_video_meta,
+                                                  video_shared_tables)
+    from fvta_memexqa_tpu.models.video import VideoFVTAModel, video_loss
+
+    dcfg, meta, shared_np = load_video_meta(args.data)
+    cfg = Config(data=dcfg,
+                 model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=8,
+                                   char_cnn_filters=16, keep_prob=1.0,
+                                   vocab_embed=True))
+    shared = video_shared_tables(dcfg, shared_np)
+    model = VideoFVTAModel(cfg=cfg, num_choices=meta["num_choices"],
+                           temporal_encoder=args.encoder)
+    train_ds = VideoDataset(args.data, "train")
+    test_ds = VideoDataset(args.data, "test")
+
+    import jax.numpy as jnp
+
+    first = next(iter(train_ds.get_batches(args.batch_size)))
+    first = jax.tree.map(jnp.asarray, first)
+    params = jax.jit(lambda k: model.init(k, shared, first, train=False))(
+        jax.random.key(args.seed))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, vi):
+        (l, aux), g = jax.value_and_grad(
+            lambda pp: video_loss(model, pp, shared, vi, None, False),
+            has_aux=True)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l, aux["acc"]
+
+    @jax.jit
+    def eval_counts(p, vi):
+        out = model.apply(p, shared, vi, train=False)
+        w = vi.ex_mask.astype(jnp.float32)
+        correct = ((jnp.argmax(out.logits, -1) == vi.label) * w).sum()
+        return correct, w.sum()
+
+    done, epoch = 0, 0
+    loss = acc = 0.0
+    while done < args.steps:
+        for vi in train_ds.get_batches(args.batch_size, shuffle=True,
+                                       seed=args.seed, epoch=epoch):
+            params, opt_state, loss, acc = step(params, opt_state,
+                                                jax.tree.map(jnp.asarray, vi))
+            done += 1
+            if done % 50 == 0:
+                print(f"[video] step={done} loss={float(loss):.4f} "
+                      f"train_acc={float(acc):.4f}", file=sys.stderr)
+            if done >= args.steps:
+                break
+        epoch += 1
+    correct = total = 0.0
+    for vi in test_ds.get_batches(args.batch_size):
+        c, t = eval_counts(params, jax.tree.map(jnp.asarray, vi))
+        correct += float(c)
+        total += float(t)
+    print(json.dumps({
+        "encoder": args.encoder, "data": args.data, "steps": done,
+        "train_acc": float(acc), "heldout_acc": correct / max(total, 1.0),
+        "chance": 1.0 / meta["num_choices"], "test_count": int(total),
+    }))
+
+
 def cmd_synth(argv):
     p = argparse.ArgumentParser(prog="fvta synth")
     p.add_argument("outdir")
@@ -317,6 +456,8 @@ COMMANDS = {
     "serve": cmd_serve,
     "synth": cmd_synth,
     "video": cmd_video,
+    "video-prepro": cmd_video_prepro,
+    "synth-video": cmd_synth_video,
 }
 
 

@@ -5,8 +5,9 @@ from fvta_memexqa_tpu.data.pack import PackedDataset, PackedShared, load_pack, p
 from fvta_memexqa_tpu.data.pipeline import Batch, Dataset
 from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables, assemble
 from fvta_memexqa_tpu.data.stream import (Prefetcher, StreamingDataset,
-                                           write_split_shards)
+                                           write_shards, write_split_shards)
 from fvta_memexqa_tpu.data.synthetic import make_synthetic
+from fvta_memexqa_tpu.data.video_pack import VideoDataset, pack_video
 
 __all__ = [
     "Album",
@@ -29,5 +30,8 @@ __all__ = [
     "make_synthetic",
     "Prefetcher",
     "StreamingDataset",
+    "write_shards",
     "write_split_shards",
+    "VideoDataset",
+    "pack_video",
 ]

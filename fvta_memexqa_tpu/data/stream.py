@@ -36,31 +36,37 @@ import numpy as np
 from fvta_memexqa_tpu.data.pipeline import _BATCH_KEYS, Batch
 
 
-def _index_path(pack_dir: str, split: str) -> str:
-    return os.path.join(pack_dir, f"data_{split}.shards.json")
+def _index_path(pack_dir: str, base: str) -> str:
+    return os.path.join(pack_dir, f"{base}.shards.json")
 
 
-def _shard_path(pack_dir: str, split: str, i: int) -> str:
-    return os.path.join(pack_dir, f"data_{split}.shard-{i:05d}.npz")
+def _shard_path(pack_dir: str, base: str, i: int) -> str:
+    return os.path.join(pack_dir, f"{base}.shard-{i:05d}.npz")
 
 
-def write_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
-    """Re-shard data_{split}.npz into data_{split}.shard-NNNNN.npz files of
+def write_shards(pack_dir: str, base: str, arrays: dict[str, np.ndarray],
+                 shard_size: int) -> int:
+    """Write `arrays` (equal leading dim) as {base}.shard-NNNNN.npz files of
     `shard_size` rows each (last shard ragged) + a JSON index. Returns the
     number of shards. Idempotent: overwrites any existing index/shards."""
     if shard_size <= 0:
         raise ValueError(f"shard_size must be positive, got {shard_size}")
-    with np.load(os.path.join(pack_dir, f"data_{split}.npz")) as z:
-        arrays = {k: z[k] for k in z.files}
     n = int(arrays["label"].shape[0])
     sizes = []
     for i, start in enumerate(range(0, max(n, 1), shard_size)):
         rows = {k: v[start: start + shard_size] for k, v in arrays.items()}
-        np.savez_compressed(_shard_path(pack_dir, split, i), **rows)
+        np.savez_compressed(_shard_path(pack_dir, base, i), **rows)
         sizes.append(int(rows["label"].shape[0]))
-    with open(_index_path(pack_dir, split), "w") as f:
+    with open(_index_path(pack_dir, base), "w") as f:
         json.dump({"shard_size": shard_size, "sizes": sizes, "total": n}, f)
     return len(sizes)
+
+
+def write_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
+    """Re-shard an in-memory-pack split file (data_{split}.npz) for streaming."""
+    with np.load(os.path.join(pack_dir, f"data_{split}.npz")) as z:
+        arrays = {k: z[k] for k in z.files}
+    return write_shards(pack_dir, f"data_{split}", arrays, shard_size)
 
 
 class StreamingDataset:
@@ -69,13 +75,25 @@ class StreamingDataset:
     Holds at most `cache_shards` decompressed shards in memory (LRU). Shuffle
     is windowed (see module docstring) and deterministic given (seed, epoch) —
     the exact-resume contract (train.train skips `step mod batches/epoch`
-    already-consumed batches) holds for streaming runs too."""
+    already-consumed batches) holds for streaming runs too.
+
+    Subclass hooks (used by the video path, data/video_pack.VideoDataset):
+    FILE_PREFIX names the shard files ({prefix}_{split}.shard-NNNNN.npz), KEYS
+    lists the array fields, and _make_batch builds the emitted struct."""
+
+    FILE_PREFIX = "data"
+    KEYS: tuple[str, ...] = _BATCH_KEYS
+
+    def _make_batch(self, ex_mask: np.ndarray, fields: dict) -> Batch:
+        return Batch(ex_mask=ex_mask, **fields)
 
     def __init__(self, pack_dir: str, split: str, cache_shards: int = 2):
-        with open(_index_path(pack_dir, split)) as f:
+        base = f"{self.FILE_PREFIX}_{split}"
+        with open(_index_path(pack_dir, base)) as f:
             self.index = json.load(f)
         self.pack_dir = pack_dir
         self.split = split
+        self._base = base
         self.n = int(self.index["total"])
         self.cache_shards = max(1, cache_shards)
         self._cache: dict[int, dict[str, np.ndarray]] = {}
@@ -84,7 +102,7 @@ class StreamingDataset:
         if i not in self._cache:
             if len(self._cache) >= self.cache_shards:
                 self._cache.pop(next(iter(self._cache)))  # evict oldest
-            with np.load(_shard_path(self.pack_dir, self.split, i)) as z:
+            with np.load(_shard_path(self.pack_dir, self._base, i)) as z:
                 self._cache[i] = {k: z[k] for k in z.files}
         return self._cache[i]
 
@@ -112,7 +130,7 @@ class StreamingDataset:
         if shuffle:
             np.random.default_rng((seed, epoch)).shuffle(shard_order)
 
-        pend: dict[str, list[np.ndarray]] = {k: [] for k in _BATCH_KEYS}
+        pend: dict[str, list[np.ndarray]] = {k: [] for k in self.KEYS}
         pend_n = 0
 
         def emit(rows: dict[str, np.ndarray]):
@@ -125,18 +143,18 @@ class StreamingDataset:
             nonlocal pend_n
             cat = {k: np.concatenate(v) if len(v) > 1 else v[0]
                    for k, v in pend.items()}
-            fields = {k: cat[k][:batch_size] for k in _BATCH_KEYS}
+            fields = {k: cat[k][:batch_size] for k in self.KEYS}
             for k in pend:
                 pend[k] = [cat[k][batch_size:]] if pend_n > batch_size else []
             pend_n = max(0, pend_n - batch_size)
-            return Batch(ex_mask=np.ones(batch_size, dtype=bool), **fields)
+            return self._make_batch(np.ones(batch_size, dtype=bool), fields)
 
         for si in shard_order:
             shard = self._shard(int(si))
             order = np.arange(len(shard["label"]))
             if shuffle:
                 np.random.default_rng((seed, epoch, int(si))).shuffle(order)
-            emit({k: shard[k][order] for k in _BATCH_KEYS})
+            emit({k: shard[k][order] for k in self.KEYS})
             while pend_n >= batch_size:
                 yield pop_batch()
 
@@ -147,10 +165,10 @@ class StreamingDataset:
             ex_mask = np.zeros(batch_size, dtype=bool)
             ex_mask[:k0] = True
             fields = {}
-            for k in _BATCH_KEYS:
+            for k in self.KEYS:
                 pad = np.repeat(cat[k][:1], batch_size - k0, axis=0)
                 fields[k] = np.concatenate([cat[k], pad])
-            yield Batch(ex_mask=ex_mask, **fields)
+            yield self._make_batch(ex_mask, fields)
 
 
 class Prefetcher:

@@ -1,0 +1,176 @@
+"""Video-QA data path: raw schema parse, pack → streaming shards → VideoInputs
+batches, frame subsample/pad, and learnability end-to-end (BASELINE config 4
+real-data path)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import DataConfig
+from fvta_memexqa_tpu.data.video_pack import (VideoDataset, _subsample_frames,
+                                              load_video_meta,
+                                              make_synthetic_video_raw,
+                                              pack_video, parse_video_qas,
+                                              video_shared_tables,
+                                              write_raw_video_files)
+
+
+def small_cfg():
+    return DataConfig(max_question_len=8, max_answer_len=3, max_word_len=6,
+                      word_emb_dim=16)
+
+
+@pytest.fixture(scope="module")
+def video_pack_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("vpack"))
+    qas, feats, test_ids = make_synthetic_video_raw(
+        num_videos=40, num_frames=16, feat_dim=32, seed=0)
+    pack_video(qas, feats, test_ids, None, out, small_cfg(),
+               max_frames=16, shard_size=7)
+    return out
+
+
+class TestSubsample:
+    def test_long_video_subsampled(self):
+        feats = np.arange(40, dtype=np.float32).reshape(20, 2)
+        out, mask = _subsample_frames(feats, 8)
+        assert out.shape == (8, 2) and mask.all()
+        assert out[0, 0] == 0 and out[-1, 0] == feats[-1, 0]  # endpoints kept
+        assert (np.diff(out[:, 0]) > 0).all()                 # order preserved
+
+    def test_short_video_padded(self):
+        feats = np.ones((3, 2), np.float32)
+        out, mask = _subsample_frames(feats, 8)
+        assert mask[:3].all() and not mask[3:].any()
+        assert (out[3:] == 0).all()
+
+
+class TestParse:
+    def test_malformed_rows_reported(self, tmp_path):
+        path = str(tmp_path / "qas.jsonl")
+        rows = [
+            {"qa_id": "a", "video_id": "v", "question": "q ?",
+             "choices": ["x", "y"], "answer_idx": 0},
+            {"qa_id": "b", "video_id": "v", "question": "",
+             "choices": ["x", "y"], "answer_idx": 0},          # no question
+            {"qa_id": "c", "video_id": "v", "question": "q",
+             "choices": ["x"], "answer_idx": 0},               # 1 choice
+            {"qa_id": "d", "video_id": "v", "question": "q",
+             "choices": ["x", "y"], "answer_idx": 5},          # label range
+        ]
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        good, errs = parse_video_qas(path)
+        assert [q["qa_id"] for q in good] == ["a"]
+        assert len(errs) == 3
+
+
+class TestVideoPack:
+    def test_splits_and_shapes(self, video_pack_dir):
+        cfg, meta, shared = load_video_meta(video_pack_dir)
+        assert meta["split_sizes"]["test"] == 10  # 25% of 40
+        assert meta["split_sizes"]["train"] + meta["split_sizes"]["val"] == 30
+        assert shared["word_emb_init"].shape[1] == 16
+        assert cfg.image_feat_dim == 32
+
+        ds = VideoDataset(video_pack_dir, "train")
+        vi = next(iter(ds.get_batches(4)))
+        assert vi.frame_feats.shape == (4, 16, 32)
+        assert vi.choice_words.shape == (4, 5, cfg.max_answer_len)
+        assert vi.ex_mask.all()
+
+    def test_streaming_covers_split(self, video_pack_dir):
+        ds = VideoDataset(video_pack_dir, "train")
+        seen = set()
+        total = 0
+        for vi in ds.get_batches(4, shuffle=True, seed=1):
+            keep = np.asarray(vi.ex_mask)
+            total += int(keep.sum())
+            seen.update(np.asarray(vi.q_words)[keep].tobytes()
+                        for _ in range(1))
+        assert total == ds.n
+        assert sorted(ds.qids) == sorted(set(ds.qids))  # unique qa ids
+
+    def test_model_trains_on_pack(self, video_pack_dir):
+        """A few hundred steps must beat chance solidly on held-out data —
+        the pack preserved the learnable event structure."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from fvta_memexqa_tpu.config import Config, ModelConfig
+        from fvta_memexqa_tpu.models.video import VideoFVTAModel, video_loss
+
+        dcfg, meta, shared_np = load_video_meta(video_pack_dir)
+        cfg = Config(data=dcfg, model=ModelConfig(
+            hidden_dim=16, char_emb_dim=4, char_cnn_filters=8, keep_prob=1.0))
+        shared = video_shared_tables(dcfg, shared_np)
+        model = VideoFVTAModel(cfg=cfg, num_choices=meta["num_choices"])
+        ds = VideoDataset(video_pack_dir, "train")
+        first = jax.tree.map(jnp.asarray, next(iter(ds.get_batches(6))))
+        params = jax.jit(lambda k: model.init(k, shared, first, train=False))(
+            jax.random.key(0))
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s, vi):
+            (l, aux), g = jax.value_and_grad(
+                lambda pp: video_loss(model, pp, shared, vi, None, False),
+                has_aux=True)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s, l, aux["acc"]
+
+        done = 0
+        for epoch in range(60):
+            for vi in ds.get_batches(6, shuffle=True, seed=0, epoch=epoch):
+                params, opt_state, loss, acc = step(
+                    params, opt_state, jax.tree.map(jnp.asarray, vi))
+                done += 1
+        assert float(acc) == 1.0, f"failed to fit train split (acc={float(acc)})"
+
+        test_ds = VideoDataset(video_pack_dir, "test")
+        correct = total = 0.0
+        for vi in test_ds.get_batches(6):
+            vi = jax.tree.map(jnp.asarray, vi)
+            out = model.apply(params, shared, vi, train=False)
+            w = np.asarray(vi.ex_mask)
+            correct += ((np.argmax(np.asarray(out.logits), -1)
+                         == np.asarray(vi.label)) * w).sum()
+            total += w.sum()
+        # 2x chance on 10 held-out examples: binomial P(>=4/10 | p=0.2) ~ 0.12,
+        # and the fixed seed makes the run deterministic
+        assert correct / total >= 0.4, f"held-out acc {correct / total} ~ chance"
+
+
+def test_video_cli_pack_flow(tmp_path):
+    """synth-video → video-prepro → video --data through the real CLI."""
+    env = {**os.environ, "FVTA_PLATFORM": "cpu"}
+    py = sys.executable
+    raw = str(tmp_path / "raw")
+    packd = str(tmp_path / "vpack")
+
+    def run(args, timeout=1200):
+        r = subprocess.run([py, "-m", "fvta_memexqa_tpu.cli", *args],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=timeout)
+        assert r.returncode == 0, f"{args}: {r.stderr[-2000:]}"
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run(["synth-video", raw, "--num-videos", "20", "--num-frames", "12",
+         "--feat-dim", "16"])
+    out = run(["video-prepro", f"{raw}/qas.jsonl", f"{raw}/frame_feats.npz",
+               packd, "--test-ids", f"{raw}/test_qa.ids", "--max-frames", "12",
+               "--shard-size", "6", "--max-question-len", "8",
+               "--max-answer-len", "3", "--max-word-len", "6",
+               "--word-emb-dim", "16"])
+    assert out["splits"]["train"] > 0 and out["splits"]["test"] == 5
+    out = run(["video", "--data", packd, "--steps", "40", "--hidden-dim", "8",
+               "--batch-size", "5"])
+    assert 0.0 <= out["heldout_acc"] <= 1.0
+    assert out["test_count"] == 5
