@@ -92,7 +92,8 @@ class ModelConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 64
-    eval_batch_size: int = 64
+    eval_batch_size: int = 128  # cached-album eval peaks at 128 on v5e (BASELINE.md);
+    #                             256 regresses (cache-gather bandwidth)
     learning_rate: float = 1e-3
     optimizer: str = "adam"      # adam | adadelta (reference offered both; adam default)
     grad_clip_norm: float = 5.0
