@@ -56,10 +56,14 @@ def main():
     from fvta_memexqa_tpu.bench_lib import bench_cached_inference
 
     cached_qps, cache_s, cached_bs = 0.0, 0.0, 0
+    prebuilt = None
     for cbs in (64, 128):  # 128 measured fastest on v5e; 256 regresses
-        qps, cs = bench_cached_inference(cfg, batch_size=cbs)
+        qps, cs, prebuilt = bench_cached_inference(cfg, batch_size=cbs,
+                                                   prebuilt=prebuilt)
+        if cs:
+            cache_s = cs  # the one-time build happens on the first size only
         if qps > cached_qps:
-            cached_qps, cache_s, cached_bs = qps, cs, cbs
+            cached_qps, cached_bs = qps, cbs
     print(f"cached-album inference: {cached_qps:.1f} qa/s @ bs={cached_bs} "
           f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
 

@@ -119,16 +119,20 @@ def cmd_train(argv):
     from fvta_memexqa_tpu.data import load_pack
     from fvta_memexqa_tpu.train import train
 
-    packed = load_pack(args.packdir)
     datasets = None
     if args.stream_shard_size > 0:
-        from fvta_memexqa_tpu.data.stream import StreamingDataset, write_split_shards
+        from fvta_memexqa_tpu.data.stream import StreamingDataset, ensure_split_shards
 
-        write_split_shards(args.packdir, "train", args.stream_shard_size)
+        # streaming: never materialize the split arrays in host memory; the
+        # one-time shard conversion is skipped when a matching index exists
+        packed = load_pack(args.packdir, load_splits=False)
+        ensure_split_shards(args.packdir, "train", args.stream_shard_size)
         datasets = (StreamingDataset(args.packdir, "train"), None)
-        if packed.splits.get("val") is not None and len(packed.splits["val"]["label"]):
-            write_split_shards(args.packdir, "val", args.stream_shard_size)
+        if packed.meta["split_sizes"].get("val", 0) > 0:
+            ensure_split_shards(args.packdir, "val", args.stream_shard_size)
             datasets = (datasets[0], StreamingDataset(args.packdir, "val"))
+    else:
+        packed = load_pack(args.packdir)
     cfg = _config_from_args(args).replace(data=packed.cfg)
     if args.use_pallas is None:
         # fused LSTM kernels win the TRAIN step (~+15% measured, BASELINE.md

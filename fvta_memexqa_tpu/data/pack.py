@@ -380,7 +380,10 @@ def pack(
     return meta
 
 
-def load_pack(out_dir: str) -> PackedDataset:
+def load_pack(out_dir: str, load_splits: bool = True) -> PackedDataset:
+    """load_splits=False skips materializing the per-question split arrays —
+    the streaming path (data/stream.StreamingDataset) reads shard files
+    instead, so only the shared tables need host memory."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     cfg = DataConfig(**meta["data_config"])
@@ -393,9 +396,10 @@ def load_pack(out_dir: str) -> PackedDataset:
         fields["vocab_chars"] = vc
     shared = PackedShared(**fields)
     splits = {}
-    for name in ("train", "val", "test"):
-        path = os.path.join(out_dir, f"data_{name}.npz")
-        if os.path.exists(path):
-            with np.load(path) as z:
-                splits[name] = {k: z[k] for k in z.files}
+    if load_splits:
+        for name in ("train", "val", "test"):
+            path = os.path.join(out_dir, f"data_{name}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    splits[name] = {k: z[k] for k in z.files}
     return PackedDataset(cfg=cfg, shared=shared, splits=splits, meta=meta)

@@ -63,10 +63,28 @@ def write_shards(pack_dir: str, base: str, arrays: dict[str, np.ndarray],
 
 
 def write_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
-    """Re-shard an in-memory-pack split file (data_{split}.npz) for streaming."""
+    """Re-shard an in-memory-pack split file (data_{split}.npz) for streaming.
+
+    The conversion itself needs one split array at a time in memory (npz offers
+    no row slicing); packs too large even for that should be produced sharded
+    at pack time (the video packer already is)."""
+    arrays = {}
     with np.load(os.path.join(pack_dir, f"data_{split}.npz")) as z:
-        arrays = {k: z[k] for k in z.files}
+        for k in z.files:
+            arrays[k] = z[k]
     return write_shards(pack_dir, f"data_{split}", arrays, shard_size)
+
+
+def ensure_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
+    """write_split_shards, skipped when a matching index already exists —
+    resumes of a streaming run don't pay the re-shard again."""
+    idx = _index_path(pack_dir, f"data_{split}")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            existing = json.load(f)
+        if existing.get("shard_size") == shard_size:
+            return len(existing["sizes"])
+    return write_split_shards(pack_dir, split, shard_size)
 
 
 class StreamingDataset:
@@ -99,17 +117,24 @@ class StreamingDataset:
         self._cache: dict[int, dict[str, np.ndarray]] = {}
 
     def _shard(self, i: int) -> dict[str, np.ndarray]:
-        if i not in self._cache:
+        if i in self._cache:
+            self._cache[i] = self._cache.pop(i)        # LRU touch
+        else:
             if len(self._cache) >= self.cache_shards:
-                self._cache.pop(next(iter(self._cache)))  # evict oldest
+                self._cache.pop(next(iter(self._cache)))  # evict least-recent
             with np.load(_shard_path(self.pack_dir, self._base, i)) as z:
                 self._cache[i] = {k: z[k] for k in z.files}
         return self._cache[i]
 
     @property
     def qids(self) -> np.ndarray:
-        return np.concatenate(
-            [self._shard(i)["qid"] for i in range(len(self.index["sizes"]))])
+        # read the (tiny) qid arrays directly, bypassing the shard cache so a
+        # mid-iteration qids access doesn't flush the hot working set
+        out = []
+        for i in range(len(self.index["sizes"])):
+            with np.load(_shard_path(self.pack_dir, self._base, i)) as z:
+                out.append(z["qid"])
+        return np.concatenate(out)
 
     def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         if drop_remainder:
@@ -176,10 +201,13 @@ class Prefetcher:
     host→device transfer via `transfer`) with device compute.
 
     Wraps any Batch iterator; bounded queue (depth) caps host memory. The
-    worker's exception, if any, is re-raised in the consumer. Use as:
+    worker's exception, if any, is re-raised in the consumer. Call close()
+    (or exit the `with` block) if iteration may stop early — otherwise the
+    worker would keep preparing/transferring batches against a full queue.
 
-        for batch in Prefetcher(ds.get_batches(bs, ...), transfer=device_put_batch):
-            state, m = train_step(state, shared, batch)
+        with Prefetcher(ds.get_batches(bs, ...), transfer=device_put_batch) as it:
+            for batch in it:
+                state, m = train_step(state, shared, batch)
     """
 
     _DONE = object()
@@ -187,25 +215,61 @@ class Prefetcher:
     def __init__(self, it: Iterator[Batch], depth: int = 2, transfer=None):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: BaseException | None = None
+        self._stop = threading.Event()
+        self._done = False
 
         def work():
             try:
                 for item in it:
-                    self._q.put(transfer(item) if transfer else item)
+                    if self._stop.is_set():
+                        return
+                    item = transfer(item) if transfer else item
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    else:
+                        return
             except BaseException as e:  # propagate to consumer
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                try:
+                    self._q.put_nowait(self._DONE)
+                except queue.Full:
+                    pass  # close() is draining; it joins us regardless
 
         self._t = threading.Thread(target=work, daemon=True)
         self._t.start()
+
+    def close(self):
+        """Stop the worker and release queued batches. Idempotent."""
+        self._stop.set()
+        while True:  # drain so a blocked put wakes and the worker exits
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._t.join(timeout=5)
+        self._done = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
+            self._done = True
             self._t.join()
             if self._err is not None:
                 raise self._err

@@ -49,6 +49,8 @@ def parse_video_qas(path: str) -> tuple[list[dict], list[str]]:
                 continue
             try:
                 r = json.loads(line)
+                if not r.get("video_id"):
+                    raise ValueError("missing video_id")
                 if not r.get("question"):
                     raise ValueError("missing question")
                 ch = r.get("choices") or []

@@ -487,6 +487,12 @@ def serve_http(engine: QAEngine, store: AlbumStore,
             return True
 
         def do_GET(self):
+            if self.path == "/healthz":
+                # liveness probe: exempt from auth (probes can't always attach
+                # headers) and from the rate limiter (an overloaded-but-healthy
+                # instance must not be marked down)
+                self._json(200, {"ok": True})
+                return
             if not self._gate():
                 return
             if self.path == "/stats":
@@ -494,8 +500,6 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                                  "cache_bytes": store.cache_bytes,
                                  "evictions": store.evictions,
                                  **engine.stats, **engine.latency_stats()})
-            elif self.path == "/healthz":
-                self._json(200, {"ok": True})
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -183,11 +183,15 @@ def evaluate(eval_step, params, shared: SharedTables, dataset: Dataset,
 
         batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
     totals = None
-    for batch in batch_it:
-        if prefetch <= 0:
-            batch = xfer(batch)
-        m = eval_step(params, shared, batch, vocab_table, photo_table)
-        totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
+    try:
+        for batch in batch_it:
+            if prefetch <= 0:
+                batch = xfer(batch)
+            m = eval_step(params, shared, batch, vocab_table, photo_table)
+            totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
+    finally:
+        if prefetch > 0:
+            batch_it.close()
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
                                             "loss_sum": 0.0})
     return {
@@ -263,57 +267,63 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             from fvta_memexqa_tpu.data.stream import Prefetcher
 
             batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
-        for bi, batch in enumerate(batch_it):
-            if epoch == start_epoch and bi < skip_batches:
-                continue  # already consumed before the checkpoint
-            if prefetch <= 0:
-                batch = xfer(batch)
-            # Tracing (SURVEY.md section 5): profile steps [10, 15) once, after
-            # compile noise settles; view with tensorboard/perfetto.
-            if profile_dir and steps_done == 10:
-                jax.profiler.start_trace(profile_dir)
-            if not timer.samples and timer._t0 is None:
-                timer.start()  # window opens on the first step after a log
-            state, m = train_step(state, shared, batch)
-            steps_done += 1
-            step = steps_done
-            if profile_dir and step == 15:
-                jax.block_until_ready(m["loss"])
-                jax.profiler.stop_trace()
-                log.log("profile", step=step, dir=profile_dir)
-            if step % t.log_period == 0:
-                # Sync only here: steps dispatch asynchronously between logs, so
-                # host-side batch prep and device compute overlap (and per-step
-                # tunnel round-trips are avoided on this box).
-                jax.block_until_ready(m["loss"])
-                check_finite_loss(float(m["loss"]), step)
-                timer.stop()
-                window = timer.samples[-1]
-                n_steps = min(t.log_period, step)
-                bs = t.batch_size
-                log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
-                        acc=float(m["acc"]),
-                        qa_pairs_per_sec=bs * n_steps / max(window, 1e-9),
-                        p50_step_ms=window / n_steps * 1e3)
-                timer.reset()
-            if val_ds is not None and step % t.val_period == 0:
-                vm = evaluate(eval_step, state.params, shared, val_ds,
-                              t.eval_batch_size, mesh,
-                              *make_eval_tables(model, state.params, shared))
-                log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
-                best_val = max(best_val, vm["acc"])
-                ckpt.save(step, state, val_acc=vm["acc"])
-            elif step % t.save_period == 0:
-                ckpt.save(step, state)
-            if num_steps is not None and step >= num_steps:
-                done = True
-                break
+        try:
+            for bi, batch in enumerate(batch_it):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue  # already consumed before the checkpoint
+                if prefetch <= 0:
+                    batch = xfer(batch)
+                # Tracing (SURVEY.md section 5): profile steps [10, 15) once,
+                # after compile noise settles; view with tensorboard/perfetto.
+                if profile_dir and steps_done == 10:
+                    jax.profiler.start_trace(profile_dir)
+                if not timer.samples and timer._t0 is None:
+                    timer.start()  # window opens on the first step after a log
+                state, m = train_step(state, shared, batch)
+                steps_done += 1
+                step = steps_done
+                if profile_dir and step == 15:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    log.log("profile", step=step, dir=profile_dir)
+                if step % t.log_period == 0:
+                    # Sync only here: steps dispatch asynchronously between
+                    # logs, so host-side batch prep and device compute overlap
+                    # (and per-step tunnel round-trips are avoided on this box).
+                    jax.block_until_ready(m["loss"])
+                    check_finite_loss(float(m["loss"]), step)
+                    timer.stop()
+                    window = timer.samples[-1]
+                    n_steps = min(t.log_period, step)
+                    bs = t.batch_size
+                    log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
+                            acc=float(m["acc"]),
+                            qa_pairs_per_sec=bs * n_steps / max(window, 1e-9),
+                            p50_step_ms=window / n_steps * 1e3)
+                    timer.reset()
+                if val_ds is not None and step % t.val_period == 0:
+                    vm = evaluate(eval_step, state.params, shared, val_ds,
+                                  t.eval_batch_size, mesh,
+                                  *make_eval_tables(model, state.params, shared),
+                                  prefetch=prefetch)
+                    log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
+                    best_val = max(best_val, vm["acc"])
+                    ckpt.save(step, state, val_acc=vm["acc"])
+                elif step % t.save_period == 0:
+                    ckpt.save(step, state)
+                if num_steps is not None and step >= num_steps:
+                    done = True
+                    break
+        finally:
+            if prefetch > 0:
+                batch_it.close()  # early break/exception: stop the worker
 
     # final val + save
     step = int(state.step)
     if val_ds is not None:
         vm = evaluate(eval_step, state.params, shared, val_ds, t.eval_batch_size,
-                      mesh, *make_eval_tables(model, state.params, shared))
+                      mesh, *make_eval_tables(model, state.params, shared),
+                      prefetch=prefetch)
         log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
         best_val = max(best_val, vm["acc"])
         ckpt.save(step, state, val_acc=vm["acc"])

@@ -324,15 +324,20 @@ class TestAuthAndRateLimit:
             assert code == 401
             body, code = self._get(f"{base}/stats", token="s3cret")
             assert code == 200 and "albums" in body
+            # liveness probes can't attach headers: /healthz stays open
+            _, code = self._get(f"{base}/healthz")
+            assert code == 200
         finally:
             engine.close()
 
     def test_rate_limit_429(self, served):
         engine, base = self._start(served, max_requests_per_sec=3)
         try:
-            codes = [self._get(f"{base}/healthz")[1] for _ in range(8)]
+            codes = [self._get(f"{base}/stats")[1] for _ in range(8)]
             assert codes.count(200) == 3
             assert codes.count(429) == 5
+            # the health endpoint is exempt — an overloaded instance is not dead
+            assert self._get(f"{base}/healthz")[1] == 200
         finally:
             engine.close()
 

@@ -5,6 +5,8 @@ identical Batch layout and pad-by-repeat semantics, deterministic order given
 (seed, epoch), full split coverage — the memory-bounded path for datasets that
 don't fit pack-once (SURVEY.md §2 data-runtime row)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -76,6 +78,33 @@ class TestStreamingDataset:
         assert last.ex_mask[:k].all() and not last.ex_mask[k:].any()
         assert last.q_words.shape[0] == bs
 
+    def test_ensure_split_shards_idempotent(self, sharded, packed_synth, tmp_path):
+        """A resume must not pay the re-shard again: matching index → no-op,
+        different shard_size → re-shard."""
+        import shutil
+
+        from fvta_memexqa_tpu.data.stream import ensure_split_shards
+
+        d = str(tmp_path / "pack2")
+        shutil.copytree(sharded, d)
+        n1 = ensure_split_shards(d, "train", 5)
+        marker = os.path.getmtime(os.path.join(d, "data_train.shard-00000.npz"))
+        assert ensure_split_shards(d, "train", 5) == n1
+        assert os.path.getmtime(
+            os.path.join(d, "data_train.shard-00000.npz")) == marker  # untouched
+        n2 = ensure_split_shards(d, "train", 3)
+        assert n2 != n1  # size change re-shards
+
+    def test_lru_cache_touch_order(self, sharded):
+        ds = StreamingDataset(sharded, "train", cache_shards=2)
+        ds._shard(0)
+        ds._shard(1)
+        ds._shard(0)          # touch 0 → 1 is now least-recent
+        ds._shard(2)          # evicts 1, not 0
+        assert set(ds._cache) == {0, 2}
+        _ = ds.qids           # must not disturb the shard cache
+        assert set(ds._cache) == {0, 2}
+
     def test_drop_remainder(self, sharded, packed_synth):
         n = packed_synth.num_examples("train")
         bs = 7 if n % 7 else 6
@@ -101,6 +130,34 @@ class TestPrefetcher:
         ds = StreamingDataset(sharded, "train")
         b = next(iter(Prefetcher(ds.get_batches(4), transfer=device_put_batch)))
         assert isinstance(b.q_words, jnp.ndarray)
+
+    def test_early_close_stops_worker(self, sharded):
+        """Breaking out of iteration must not leave a blocked worker behind."""
+        ds = StreamingDataset(sharded, "train")
+        calls = []
+
+        def slow_transfer(b):
+            calls.append(1)
+            return b
+
+        pf = Prefetcher(ds.get_batches(2), depth=1, transfer=slow_transfer)
+        next(pf)  # consume one, then abandon
+        pf.close()
+        assert not pf._t.is_alive()
+        n_after_close = len(calls)
+        import time
+
+        time.sleep(0.3)
+        assert len(calls) == n_after_close  # no further transfers
+        with pytest.raises(StopIteration):
+            next(pf)  # exhausted-after-close does not block
+
+    def test_close_idempotent_and_after_exhaustion(self, sharded):
+        ds = StreamingDataset(sharded, "train")
+        pf = Prefetcher(ds.get_batches(50))
+        list(pf)
+        pf.close()
+        pf.close()
 
     def test_worker_exception_propagates(self):
         def boom():

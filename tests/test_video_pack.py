@@ -61,13 +61,15 @@ class TestParse:
              "choices": ["x"], "answer_idx": 0},               # 1 choice
             {"qa_id": "d", "video_id": "v", "question": "q",
              "choices": ["x", "y"], "answer_idx": 5},          # label range
+            {"qa_id": "e", "question": "q",
+             "choices": ["x", "y"], "answer_idx": 0},          # no video_id
         ]
         with open(path, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
         good, errs = parse_video_qas(path)
         assert [q["qa_id"] for q in good] == ["a"]
-        assert len(errs) == 3
+        assert len(errs) == 4
 
 
 class TestVideoPack:
