@@ -211,6 +211,45 @@ def cmd_serve(argv):
     serve_main(argv)
 
 
+def cmd_predict(argv):
+    """One-shot QA from the command line: load pack + checkpoint, ingest the
+    referenced albums, answer a single question (no HTTP server)."""
+    p = argparse.ArgumentParser(prog="fvta predict")
+    p.add_argument("packdir")
+    p.add_argument("rundir")
+    p.add_argument("--question", required=True)
+    p.add_argument("--choices", required=True,
+                   help="the 4 candidate answers, separated by '|'")
+    p.add_argument("--album-ids", default="",
+                   help="comma-separated raw album ids (as in album_info.json)")
+    p.add_argument("--raw-albums", default=None,
+                   help="album_info.json to ingest from (with --raw-photo-npz)")
+    p.add_argument("--raw-photo-npz", default=None)
+    p.add_argument("--load-latest", action="store_true")
+    args = p.parse_args(argv)
+
+    from fvta_memexqa_tpu.serve import build_engine
+
+    engine, store, packed = build_engine(args.packdir, args.rundir,
+                                         load_best=not args.load_latest,
+                                         batch_size=1)
+    try:
+        album_ids = [a for a in args.album_ids.split(",") if a]
+        if args.raw_albums and args.raw_photo_npz:
+            from fvta_memexqa_tpu.data.schema import parse_album_info
+
+            albums, _ = parse_album_info(args.raw_albums)
+            feats = dict(np.load(args.raw_photo_npz))
+            for aid in album_ids:
+                if aid in albums:
+                    store.ingest(albums[aid], feats)
+        choices = args.choices.split("|")
+        res = engine.ask(args.question, choices, album_ids)
+        print(json.dumps(res))
+    finally:
+        engine.close()
+
+
 def cmd_video_prepro(argv):
     """Pack raw video QA (qas.jsonl + frame_feats.npz [+ test ids + GloVe])
     into streaming shards (BASELINE config 4 real-data path)."""
@@ -458,6 +497,7 @@ COMMANDS = {
     "test": cmd_test,
     "ablate": cmd_ablate,
     "serve": cmd_serve,
+    "predict": cmd_predict,
     "synth": cmd_synth,
     "video": cmd_video,
     "video-prepro": cmd_video_prepro,

@@ -128,6 +128,14 @@ class TestCLI:
         # cached and uncached eval agree through the CLI too
         out2 = json.loads(run(["test", packdir, rundir, "--no-album-cache"]))
         assert out2["accuracy"] == out["accuracy"]
+        # one-shot prediction against an ingested raw album
+        out3 = json.loads(run([
+            "predict", packdir, rundir, "--question", "where did we go ?",
+            "--choices", "a|b|c|d", "--album-ids", "album0",
+            "--raw-albums", f"{raw}/album_info.json",
+            "--raw-photo-npz", f"{raw}/photo_feats.npz",
+        ]))
+        assert out3["albums_found"] == 1 and len(out3["probs"]) == 4
 
     def test_ablate_cli(self, tmp_path):
         raw = str(tmp_path / "raw")
