@@ -402,6 +402,9 @@ def _prep_group(params_pairs, xs, masks):
     input (zero x columns + zero Wx rows leave the gates unchanged). All xs
     share the leading batch dim N."""
     h = params_pairs[0][0].wh.shape[0]
+    hs = {p.wh.shape[0] for pair in params_pairs for p in pair}
+    if hs != {h}:  # padding only equalizes T and D; H must match across the group
+        raise ValueError(f"grouped bi-LSTMs must share hidden_dim, got {sorted(hs)}")
     hp = _round_up(h, 128)
     t_max = max(x.shape[1] for x in xs)
     d_max = max(x.shape[2] for x in xs)

@@ -131,8 +131,16 @@ class AlbumStore:
         self.vocab = vocab
         self.max_bytes = max_bytes
         self.evictions = 0
+        self.reencodes = 0
         self._bytes = 0
+        self._dirty = False
         self._store: "OrderedDict[str, tuple[jnp.ndarray, jnp.ndarray]]" = OrderedDict()
+        # Host-side packed inputs per ingested album (numpy, OUTSIDE the device
+        # byte budget): an evicted album re-encodes on demand at query time, so
+        # LRU eviction is a performance event, never a silent-wrong-answer one.
+        # Albums restored from a saved cache (load()) have no retained inputs
+        # until re-ingested.
+        self._inputs: dict[str, ModelInputs] = {}
         self._lock = threading.Lock()
         a1_cfg = cfg.replace(data=cfg.data.__class__(
             **{**cfg.data.__dict__, "max_albums": 1}))
@@ -162,6 +170,7 @@ class AlbumStore:
                 self._bytes -= self._entry_bytes(*old)
             self._store[album_id] = (h, m)
             self._bytes += self._entry_bytes(h, m)
+            self._dirty = True
             while (self.max_bytes is not None and self._bytes > self.max_bytes
                    and len(self._store) > 1):
                 _, (eh, em) = self._store.popitem(last=False)   # LRU out
@@ -169,22 +178,34 @@ class AlbumStore:
                 self.evictions += 1
 
     def ingest(self, album: Album, photo_feats: dict[str, np.ndarray]) -> None:
-        mi = jax.tree.map(jnp.asarray,
-                          _single_album_inputs(self.cfg, self.vocab, album, photo_feats))
-        h, m = self._encode(self.params, self.shared, mi, self.vocab_table)
+        mi = _single_album_inputs(self.cfg, self.vocab, album, photo_feats)
+        with self._lock:
+            self._inputs[album.album_id] = mi       # host copy for re-encode
+        h, m = self._encode(self.params, self.shared,
+                            jax.tree.map(jnp.asarray, mi), self.vocab_table)
         self._put(album.album_id, h[0], m[0])        # [6, T, 2H], [6, T]
 
     def get_stacked(self, album_ids: list[str]):
         """Cached encodings for album_ids, padded to max_albums: ([S, T, 2H], [S, T]).
-        Touches the entries (LRU recency)."""
+        Touches the entries (LRU recency); an evicted-but-ingested album is
+        re-encoded on demand (counted in self.reencodes)."""
         d = self.cfg.data
         n_mod = len(MODALITIES)
-        with self._lock:
-            entries = []
-            for a in album_ids[: d.max_albums]:
+        entries = []
+        for a in album_ids[: d.max_albums]:
+            with self._lock:
                 if a in self._store:
                     self._store.move_to_end(a)
                     entries.append(self._store[a])
+                    continue
+                mi = self._inputs.get(a)
+            if mi is not None:  # evicted: re-encode outside the lock
+                h, m = self._encode(self.params, self.shared,
+                                    jax.tree.map(jnp.asarray, mi),
+                                    self.vocab_table)
+                self._put(a, h[0], m[0])
+                self.reencodes += 1
+                entries.append((h[0], m[0]))
         t, h2 = d.max_context_time, 2 * self.cfg.model.hidden_dim
         h = jnp.zeros((d.max_albums * n_mod, t, h2), jnp.float32)
         m = jnp.zeros((d.max_albums * n_mod, t), bool)
@@ -195,20 +216,27 @@ class AlbumStore:
 
     # ---- persistence (orbax) ---------------------------------------------------
 
-    def save(self, path: str) -> None:
-        """Persist all cached encodings (orbax StandardSave)."""
+    def save(self, path: str, only_if_dirty: bool = False) -> bool:
+        """Persist all cached encodings (orbax StandardSave). Returns whether a
+        save happened (only_if_dirty skips the device fetch + rewrite when
+        nothing changed since the last save/load — fetches are expensive
+        through this box's tunnel)."""
         import orbax.checkpoint as ocp
 
         with self._lock:
+            if only_if_dirty and not self._dirty:
+                return False
             ids = list(self._store.keys())
             tree = {"h": [self._store[a][0] for a in ids],
                     "m": [self._store[a][1] for a in ids]}
+            self._dirty = False
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), tree, force=True)
         ckptr.wait_until_finished()
         ckptr.close()
         with open(os.path.join(path, "album_ids.json"), "w") as f:
             json.dump(ids, f)
+        return True
 
     def load(self, path: str) -> int:
         """Restore a saved cache; returns the number of albums loaded."""
@@ -222,6 +250,8 @@ class AlbumStore:
         for a, h, m in zip(ids, tree["h"], tree["m"]):
             self._put(a, jnp.asarray(h), jnp.asarray(m.astype(bool)
                                                      if hasattr(m, "astype") else m))
+        with self._lock:
+            self._dirty = False  # restored state == on-disk state
         return len(ids)
 
     @property
@@ -450,16 +480,34 @@ class RateLimiter:
 def serve_http(engine: QAEngine, store: AlbumStore,
                photo_feats: dict[str, np.ndarray], port: int = 8777,
                auth_token: str | None = None,
-               max_requests_per_sec: float | None = None):
+               max_requests_per_sec: float | None = None,
+               cache_dir: str | None = None,
+               cache_save_period_s: float = 60.0):
     """auth_token: if set, every request must carry
     `Authorization: Bearer <token>` (constant-time compare) or it gets 401.
-    max_requests_per_sec: sliding-window limit → 429 when exceeded."""
+    max_requests_per_sec: sliding-window limit → 429 when exceeded.
+    cache_dir: persist the album cache there whenever it changed (checked every
+    cache_save_period_s in a background thread), so runtime POST /albums
+    ingests survive restarts."""
     import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from fvta_memexqa_tpu.data.schema import parse_album_info
 
     limiter = RateLimiter(max_requests_per_sec)
+
+    if cache_dir:
+        def _saver():
+            while True:
+                time.sleep(cache_save_period_s)
+                try:
+                    if store.save(cache_dir, only_if_dirty=True):
+                        print(f"album cache persisted ({store.num_albums} albums)",
+                              flush=True)
+                except Exception as e:  # pragma: no cover - disk/IO issues
+                    print(f"album cache save failed: {e!r}", flush=True)
+
+        threading.Thread(target=_saver, daemon=True).start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -486,7 +534,7 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                 return False
             return True
 
-        def do_GET(self):
+        def do_GET(self):  # noqa: D102 - handler
             if self.path == "/healthz":
                 # liveness probe: exempt from auth (probes can't always attach
                 # headers) and from the rate limiter (an overloaded-but-healthy
@@ -499,6 +547,7 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                 self._json(200, {"albums": store.num_albums,
                                  "cache_bytes": store.cache_bytes,
                                  "evictions": store.evictions,
+                                 "reencodes": store.reencodes,
                                  **engine.stats, **engine.latency_stats()})
             else:
                 self._json(404, {"error": "unknown path"})
@@ -620,8 +669,7 @@ def main(argv):
         for a in albums.values():
             store.ingest(a, feats)
         print(f"pre-ingested {store.num_albums} albums", flush=True)
-    if args.cache_dir:
-        store.save(args.cache_dir)
+    if args.cache_dir and store.save(args.cache_dir, only_if_dirty=True):
         print(f"saved album cache to {args.cache_dir}", flush=True)
     serve_http(engine, store, feats, port=args.port, auth_token=args.auth_token,
-               max_requests_per_sec=args.max_rps)
+               max_requests_per_sec=args.max_rps, cache_dir=args.cache_dir)

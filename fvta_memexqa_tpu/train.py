@@ -143,14 +143,29 @@ def make_eval_step(cfg: Config, model: FVTAModel):
     return jax.jit(eval_step)
 
 
+# Module-level jits with the (hashable, frozen-config) model static: repeated
+# make_*_table calls — every val period, every serve/bench/eval entry — hit the
+# jit cache instead of re-tracing a fresh lambda each time.
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _vocab_table_jit(model, params, shared):
+    return model.apply(params, shared, method=FVTAModel._vocab_table)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _photo_table_jit(model, params, shared):
+    return model.apply(params, shared, method=FVTAModel._photo_table)
+
+
 def make_vocab_table(model: FVTAModel, params, shared: SharedTables):
     """Precompute the token-embedding table for frozen-param evaluation
     (pure function of params+shared; ~22% of a forward step amortized away —
     identical logits, parity-tested)."""
     if not model.cfg.model.vocab_embed:
         return None
-    return jax.jit(lambda p, sh: model.apply(p, sh, method=FVTAModel._vocab_table))(
-        params, shared)
+    return _vocab_table_jit(model, params, shared)
 
 
 def make_photo_table(model: FVTAModel, params, shared: SharedTables):
@@ -158,8 +173,7 @@ def make_photo_table(model: FVTAModel, params, shared: SharedTables):
     frozen-param evaluation (pure function of params+shared; replaces the
     per-step raw [N,A,P,2537] gather + projection — identical logits,
     parity-tested). Pass to assemble()/eval_step as photo_table."""
-    return jax.jit(lambda p, sh: model.apply(p, sh, method=FVTAModel._photo_table))(
-        params, shared)
+    return _photo_table_jit(model, params, shared)
 
 
 def make_eval_tables(model: FVTAModel, params, shared: SharedTables):
