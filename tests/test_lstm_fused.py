@@ -198,6 +198,14 @@ def test_model_pallas_path_matches_ref_path(packed_synth, small_config):
     np.testing.assert_allclose(np.asarray(o_pal.logits), np.asarray(o_ref.logits),
                                rtol=1e-5, atol=1e-5)
 
+    # The backward composition doubles this test's interpret-mode cost (the
+    # suite's heaviest); kernel-level GRAD parity runs unconditionally above,
+    # so the full-model grad composition is gated behind the slow marker.
+    import os
+
+    if not os.environ.get("FVTA_RUN_SLOW"):
+        return
+
     def loss(model, p):
         out = model.apply(p, shared, mi, train=False)
         lab = jax.nn.one_hot(mi.label, 4)
