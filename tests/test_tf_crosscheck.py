@@ -299,6 +299,225 @@ class TestFullModelVsTF:
         assert np.abs(logits_jax - logits_jax.mean(-1, keepdims=True)).max() > 1e-3
 
 
+class TestFullModelGradsVsTF:
+    """Gradient cross-check: a fully-TF-differentiable rebuild of the forward
+    under tf.GradientTape must produce the SAME parameter gradients as
+    jax.grad on the same loss — independent evidence that the TRAINING
+    direction (the LSTM backward-through-time included) matches, not just the
+    forward values. Covers one parameter of every layer type; remaining
+    parameters share those code paths."""
+
+    def _unreorder(self, g):
+        """Keras (i,f,c,o) column blocks → our (i,j,f,o)."""
+        i, f, c, o = np.split(np.asarray(g), 4, axis=-1)
+        return np.concatenate([i, c, f, o], axis=-1)
+
+    def test_full_grads_match_tf(self, packed_synth, small_config):
+        import jax.numpy as jnp
+
+        from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.data.tokenize import NUM_SPECIAL, UNK_ID
+        from fvta_memexqa_tpu.models import FVTAModel
+
+        cfg = small_config
+        d, m = cfg.data, cfg.model
+        H = m.hidden_dim
+        shared = SharedTables.from_packed(packed_synth.shared)
+        batch = device_put_batch(next(iter(
+            Dataset(packed_synth, "train").get_batches(4))))
+        mi = assemble(shared, batch)
+        model = FVTAModel(cfg=cfg)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+
+        def jax_loss(p):
+            out = model.apply(p, shared, mi, train=False)
+            logp = jax.nn.log_softmax(out.logits)
+            return -jnp.mean(jnp.take_along_axis(logp, mi.label[:, None], 1))
+
+        g_jax = jax.jit(jax.grad(jax_loss))(params)["params"]
+
+        # ---- TF side: build persistent layers so variables are shared ----
+        P = jax.tree.map(np.asarray, params["params"])
+        miv = jax.tree.map(np.asarray, mi.__dict__)
+        frozen = np.asarray(shared.word_emb)
+
+        def lstm_layer(p):
+            layer = tf.keras.layers.LSTM(
+                H, activation="tanh", recurrent_activation="sigmoid",
+                return_sequences=True, return_state=True, unit_forget_bias=False)
+            layer.build((None, None, np.asarray(p.wx).shape[0]))
+            layer.set_weights(_to_keras_weights(p))
+            return layer
+
+        enc_word_fw = lstm_layer(P["enc_word"]["fw"])
+        enc_word_bw = lstm_layer(P["enc_word"]["bw"])
+        enc_photo_fw = lstm_layer(P["enc_photo"]["fw"])
+        enc_photo_bw = lstm_layer(P["enc_photo"]["bw"])
+        time_layers = {}
+        for mod in ("photo_title", "album_title", "album_desc", "when", "where"):
+            time_layers[mod] = (lstm_layer(P[f"enc_{mod}"]["fw"]),
+                                lstm_layer(P[f"enc_{mod}"]["bw"]))
+
+        v_char_emb = tf.Variable(P["char_cnn"]["char_emb"])
+        v_conv_k = tf.Variable(P["char_cnn"]["conv_kernel"].reshape(
+            m.char_cnn_width, m.char_emb_dim, m.char_cnn_filters))
+        v_conv_b = tf.Variable(P["char_cnn"]["conv_bias"])
+        v_hw = {f"{t}{i}": (tf.Variable(P["highway"][f"{t}{i}"]["kernel"]),
+                            tf.Variable(P["highway"][f"{t}{i}"]["bias"]))
+                for t in ("h", "g") for i in (0, 1)}
+        v_photo_k = tf.Variable(P["photo_proj"]["kernel"])
+        v_photo_b = tf.Variable(P["photo_proj"]["bias"])
+        v_wx = tf.Variable(P["sim_w_x"])
+        v_wy = tf.Variable(P["sim_w_y"])
+        v_wxy = tf.Variable(P["sim_w_xy"])
+        v_sc_k = tf.Variable(P["scorer"]["kernel"])
+        v_sc_b = tf.Variable(P["scorer"]["bias"])
+
+        # word-id → (frozen? / trainable-row) selection, as constant gathers
+        boundary = NUM_SPECIAL + d.num_glove_words
+        trainable = P["word_embed"]["oov_emb"]
+        v_ext = max(d.extended_vocab_size, d.word_vocab_size)
+        word_table = np.zeros((v_ext, d.word_emb_dim), np.float32)
+        for i in range(v_ext):
+            wid = UNK_ID if i >= d.word_vocab_size else i
+            if wid == UNK_ID or wid >= boundary:
+                word_table[i] = trainable[min(
+                    0 if wid == UNK_ID else wid - boundary + 1,
+                    len(trainable) - 1)]
+            else:
+                word_table[i] = frozen[wid]
+        word_table_t = tf.constant(word_table)
+
+        def embed(words, chars):
+            w = tf.gather(word_table_t, words.reshape(-1))
+            emb = tf.gather(v_char_emb, chars.reshape(-1, d.max_word_len))
+            conv = tf.nn.conv1d(emb, v_conv_k, stride=1, padding="VALID") + v_conv_b
+            c = tf.reduce_max(tf.nn.relu(conv), axis=1)
+            x = tf.concat([w, c], -1)
+            for i in (0, 1):
+                hh = tf.nn.relu(x @ v_hw[f"h{i}"][0] + v_hw[f"h{i}"][1])
+                g = tf.nn.sigmoid(x @ v_hw[f"g{i}"][0] + v_hw[f"g{i}"][1])
+                x = g * hh + (1.0 - g) * x
+            return tf.reshape(x, words.shape + (x.shape[-1],))
+
+        def bilstm(fw, bw, x, mask):
+            lens = tf.constant(mask.sum(1).astype(np.int32))
+            mk = tf.constant(mask)
+            out_fw, h_fw, _ = fw(x, mask=mk)
+            x_rev = tf.reverse_sequence(x, lens, seq_axis=1)
+            out_bw_rev, h_bw, _ = bw(x_rev, mask=mk)
+            out_bw = tf.reverse_sequence(out_bw_rev, lens, seq_axis=1)
+            out = tf.concat([out_fw, out_bw], -1) * mask[..., None]
+            return out, tf.concat([h_fw, h_bw], -1)
+
+        n, A, Pp = miv["photo_feats"].shape[:3]
+        t_ctx = d.max_context_time
+        labels = tf.constant(miv["label"])
+
+        with tf.GradientTape() as tape:
+            pt_emb = tf.reshape(
+                embed(miv["photo_title_words"], miv["photo_title_chars"]),
+                (-1, d.max_sent_len, d.word_emb_dim + m.char_cnn_filters))
+            _, pt_sum = bilstm(enc_word_fw, enc_word_bw, pt_emb,
+                               miv["photo_title_mask"].reshape(-1, d.max_sent_len))
+            pt_sum = tf.reshape(pt_sum, (n * A, Pp, 2 * H))
+
+            photo_in = tf.reshape(
+                tf.constant(miv["photo_feats"].reshape(-1, d.image_feat_dim))
+                @ v_photo_k + v_photo_b, (n * A, Pp, -1))
+            at_emb = embed(miv["album_text_words"], miv["album_text_chars"])
+
+            seqs, masks = [], []
+            enc_in = [
+                ((enc_photo_fw, enc_photo_bw), photo_in,
+                 miv["photo_mask"].reshape(n * A, Pp)),
+                (time_layers["photo_title"], pt_sum,
+                 miv["photo_title_mask"].any(-1).reshape(n * A, Pp)),
+            ]
+            for fi, mod in enumerate(("album_title", "album_desc", "when",
+                                      "where")):
+                enc_in.append((
+                    time_layers[mod],
+                    tf.reshape(at_emb[:, :, fi],
+                               (n * A, d.max_album_text_len, -1)),
+                    miv["album_text_mask"][:, :, fi].reshape(
+                        n * A, d.max_album_text_len)))
+            for (fw, bw), x, mk in enc_in:
+                out, _ = bilstm(fw, bw, x, mk)
+                pad = t_ctx - out.shape[1]
+                seqs.append(tf.pad(out, [[0, 0], [0, pad], [0, 0]]))
+                masks.append(np.pad(mk, ((0, 0), (0, pad))))
+            hc = tf.reshape(tf.stack(seqs, 1), (n, A * 6, t_ctx, 2 * H))
+            cm = np.stack(masks, 1).reshape(n, A * 6, t_ctx)
+
+            q_emb = embed(miv["q_words"], miv["q_chars"])
+            h_q, _ = bilstm(enc_word_fw, enc_word_bw, q_emb, miv["q_mask"])
+            a_emb = tf.reshape(
+                embed(miv["choice_words"], miv["choice_chars"]),
+                (-1, d.max_answer_len, d.word_emb_dim + m.char_cnn_filters))
+            _, a_sum = bilstm(enc_word_fw, enc_word_bw, a_emb,
+                              miv["choice_mask"].reshape(-1, d.max_answer_len))
+            a_sum = tf.reshape(a_sum, (n, 4, 2 * H))
+
+            cmf = tf.constant(cm.astype(np.float32))
+            qmf = tf.constant(miv["q_mask"].astype(np.float32))
+            c = (tf.einsum("nstd,njd->nstj", hc * v_wxy, h_q)
+                 + tf.einsum("nstd,d->nst", hc, v_wx)[..., None]
+                 + tf.einsum("njd,d->nj", h_q, v_wy)[:, None, None, :])
+            e = tf.reduce_max(c + (1.0 - qmf[:, None, None, :]) * NEG, -1)
+            a_time = tf.nn.softmax(e + (1.0 - cmf) * NEG, -1)
+            v = tf.einsum("nst,nstd->nsd", a_time, hc)
+            seq_mask = tf.constant(cm.any(-1).astype(np.float32))
+            g = tf.reduce_max(e + (1.0 - cmf) * NEG, -1)
+            b = tf.nn.softmax(g + (1.0 - seq_mask) * NEG, -1)
+            ctx = tf.einsum("ns,nsd->nd", b, v)
+            eq = tf.reduce_max(c + (1.0 - cmf[..., None]) * NEG, axis=(1, 2))
+            wq = tf.nn.softmax(eq + (1.0 - qmf) * NEG, -1)
+            q_att = tf.einsum("nj,njd->nd", wq, h_q)
+
+            ctx4 = tf.tile(ctx[:, None], (1, 4, 1))
+            qv4 = tf.tile(q_att[:, None], (1, 4, 1))
+            feats = tf.concat([ctx4, qv4, a_sum, ctx4 * a_sum, qv4 * a_sum], -1)
+            logits = tf.einsum("nkf,fo->nko", feats, v_sc_k)[..., 0] + v_sc_b
+            logp = tf.nn.log_softmax(logits)
+            loss = -tf.reduce_mean(tf.gather(logp, labels, batch_dims=1))
+
+        np.testing.assert_allclose(float(loss), float(jax_loss(params)),
+                                   rtol=1e-5, atol=1e-6)
+
+        targets = {
+            "scorer.kernel": (v_sc_k, g_jax["scorer"]["kernel"]),
+            "scorer.bias": (v_sc_b, g_jax["scorer"]["bias"]),
+            "sim_w_x": (v_wx, g_jax["sim_w_x"]),
+            "sim_w_xy": (v_wxy, g_jax["sim_w_xy"]),
+            "photo_proj.kernel": (v_photo_k, g_jax["photo_proj"]["kernel"]),
+            "highway.h0.kernel": (v_hw["h0"][0], g_jax["highway"]["h0"]["kernel"]),
+            "char_cnn.conv_kernel": (
+                v_conv_k,
+                np.asarray(g_jax["char_cnn"]["conv_kernel"]).reshape(
+                    m.char_cnn_width, m.char_emb_dim, m.char_cnn_filters)),
+            "enc_word.fw.wx": (enc_word_fw.trainable_variables[0],
+                               g_jax["enc_word"]["fw"].wx),
+            "enc_word.fw.wh": (enc_word_fw.trainable_variables[1],
+                               g_jax["enc_word"]["fw"].wh),
+            "enc_word.bw.b": (enc_word_bw.trainable_variables[2],
+                              g_jax["enc_word"]["bw"].b),
+            "enc_photo.fw.wx": (enc_photo_fw.trainable_variables[0],
+                                g_jax["enc_photo"]["fw"].wx),
+        }
+        tf_vars = [v for v, _ in targets.values()]
+        tf_grads = tape.gradient(loss, tf_vars)
+        for (name, (_, gj)), gt in zip(targets.items(), tf_grads):
+            gt = np.asarray(gt)
+            if name.startswith("enc_"):  # keras gate blocks → our (i,j,f,o)
+                gt = self._unreorder(gt)
+            np.testing.assert_allclose(
+                gt, np.asarray(gj), rtol=5e-4, atol=1e-5,
+                err_msg=f"gradient mismatch: {name}")
+
+
 class TestExpMaskVsTF:
     def test_masked_softmax_matches_tf(self):
         rng = np.random.default_rng(6)
