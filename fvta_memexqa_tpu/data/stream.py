@@ -235,10 +235,15 @@ class Prefetcher:
             except BaseException as e:  # propagate to consumer
                 self._err = e
             finally:
-                try:
-                    self._q.put_nowait(self._DONE)
-                except queue.Full:
-                    pass  # close() is draining; it joins us regardless
+                # The DONE sentinel must not be dropped when the queue happens
+                # to be full at exhaustion (the consumer would block forever on
+                # the next get) — keep trying until it lands or close() stops us.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=work, daemon=True)
         self._t.start()

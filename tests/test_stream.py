@@ -6,6 +6,7 @@ identical Batch layout and pad-by-repeat semantics, deterministic order given
 don't fit pack-once (SURVEY.md §2 data-runtime row)."""
 
 import os
+import threading
 
 import numpy as np
 import pytest
@@ -151,6 +152,28 @@ class TestPrefetcher:
         assert len(calls) == n_after_close  # no further transfers
         with pytest.raises(StopIteration):
             next(pf)  # exhausted-after-close does not block
+
+    def test_done_sentinel_survives_full_queue(self, sharded):
+        """Regression: with a slow consumer the queue is FULL when the worker
+        exhausts its iterator; the DONE sentinel must still land (it was
+        dropped by a swallowed put_nowait, hanging the consumer forever —
+        found by a full-scale training run's val evaluation)."""
+        import time
+
+        ds = StreamingDataset(sharded, "train")
+        pf = Prefetcher(ds.get_batches(4), depth=1)
+        out = []
+
+        def consume():
+            for b in pf:
+                time.sleep(0.05)  # keep the queue full at worker exhaustion
+                out.append(b)
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive(), "consumer hung: DONE sentinel was dropped"
+        assert len(out) == ds.num_batches(4)
 
     def test_close_idempotent_and_after_exhaustion(self, sharded):
         ds = StreamingDataset(sharded, "train")
