@@ -274,15 +274,26 @@ class _Pending:
     result: dict | None = None
 
 
+class EngineOverloadedError(TimeoutError):
+    """Raised by ask() when the pending queue exceeds max_pending — the caller
+    gets an IMMEDIATE retryable failure instead of queueing toward a timeout
+    it will hit anyway (and whose inference would then run for nobody)."""
+
+
 class QAEngine:
-    """Micro-batching concurrent QA over an AlbumStore."""
+    """Micro-batching concurrent QA over an AlbumStore.
+
+    max_pending: bound on queued requests; beyond it ask() sheds load
+    immediately with EngineOverloadedError (HTTP 503). None = unbounded."""
 
     def __init__(self, store: AlbumStore, batch_size: int = 8,
-                 batch_window_ms: float = 3.0):
+                 batch_window_ms: float = 3.0, max_pending: int | None = None):
         self.store = store
         self.cfg = store.cfg
         self.batch_size = batch_size
         self.batch_window = batch_window_ms / 1e3
+        self.max_pending = max_pending
+        self.shed = 0
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         model = store.model
@@ -314,10 +325,27 @@ class QAEngine:
         self.stats = {"questions": 0, "batches": 0}
         self._latencies: list[float] = []  # rolling, most recent 1000
 
+    def warmup(self) -> float:
+        """Compile + run the answer step once on a dummy batch BEFORE taking
+        traffic. Without this the first real micro-batch pays the full jit
+        compile (~80 s cold on this box) while client timeouts expire behind
+        it — measured in the scale load test. Returns the warmup seconds."""
+        t0 = time.perf_counter()
+        p = _Pending("warmup ?", ["a", "b", "c", "d"], [])
+        self._run_batch([p])
+        self.stats["questions"] -= 1  # don't count the dummy
+        self.stats["batches"] -= 1
+        return time.perf_counter() - t0
+
     def ask(self, question: str, choices: list[str], album_ids: list[str],
             timeout: float = 30.0) -> dict:
         if len(choices) != NUM_CHOICES:
             raise ValueError(f"need exactly {NUM_CHOICES} choices")
+        if (self.max_pending is not None
+                and self._queue.qsize() >= self.max_pending):
+            self.shed += 1
+            raise EngineOverloadedError(
+                f"engine overloaded: {self._queue.qsize()} requests pending")
         p = _Pending(question, choices, album_ids)
         t0 = time.perf_counter()
         self._queue.put(p)
@@ -548,6 +576,7 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                                  "cache_bytes": store.cache_bytes,
                                  "evictions": store.evictions,
                                  "reencodes": store.reencodes,
+                                 "shed": engine.shed,
                                  **engine.stats, **engine.latency_stats()})
             else:
                 self._json(404, {"error": "unknown path"})
@@ -590,7 +619,8 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
 def build_engine(packdir: str, rundir: str, load_best: bool = True,
                  batch_size: int = 8, max_cache_bytes: int | None = None,
-                 cache_dir: str | None = None, dp: int = 1):
+                 cache_dir: str | None = None, dp: int = 1,
+                 max_pending: int | None = None):
     """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
 
     max_cache_bytes bounds the album-encoding cache (LRU eviction); cache_dir,
@@ -626,7 +656,9 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
     if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
         n = store.load(cache_dir)
         print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
-    engine = QAEngine(store, batch_size=batch_size)
+    engine = QAEngine(store, batch_size=batch_size, max_pending=max_pending)
+    w = engine.warmup()
+    print(f"answer step warmed up in {w:.1f}s", flush=True)
     return engine, store, packed
 
 
@@ -650,6 +682,8 @@ def main(argv):
                    help="require 'Authorization: Bearer <token>' on every request")
     p.add_argument("--max-rps", type=float, default=None,
                    help="sliding-window request limit per second (429 beyond)")
+    p.add_argument("--max-pending", type=int, default=None,
+                   help="shed load (immediate 503) beyond this many queued asks")
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
@@ -659,7 +693,7 @@ def main(argv):
         args.packdir, args.rundir, load_best=not args.load_latest,
         batch_size=args.batch_size,
         max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
-        cache_dir=args.cache_dir, dp=args.dp)
+        cache_dir=args.cache_dir, dp=args.dp, max_pending=args.max_pending)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info

@@ -122,6 +122,20 @@ class TestQAEngine:
         finally:
             engine.close()
 
+    def test_warmup_compiles_without_counting(self, served):
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=2)
+        try:
+            w = engine.warmup()
+            assert w > 0.0
+            assert engine.stats == {"questions": 0, "batches": 0}
+            # post-warmup asks still work
+            a0 = albums["album0"]
+            r = engine.ask("where ?", [a0.where, "b", "c", "d"], ["album0"])
+            assert "answer" in r
+        finally:
+            engine.close()
+
     def test_wrong_choice_count_rejected(self, served):
         *_, store, albums, feats = served
         engine = QAEngine(store, batch_size=2)
@@ -405,6 +419,35 @@ class TestHardening:
             assert k1 == k2 == 1
             np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
             np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_max_pending_sheds_immediately(self, served):
+        """Beyond max_pending queued asks, new requests fail FAST with the
+        retryable overload error instead of waiting out their timeout."""
+        import time
+
+        from fvta_memexqa_tpu.serve import EngineOverloadedError
+
+        *_, store, albums, feats = served
+        engine = QAEngine(store, batch_size=2, max_pending=1)
+        engine._stop.set()              # freeze the worker → queue backs up
+        engine._worker.join(timeout=5)
+        try:
+            def slow_ask():  # fills the single pending slot, then times out
+                try:
+                    engine.ask("q ?", ["a", "b", "c", "d"], [], timeout=3.0)
+                except TimeoutError:
+                    pass
+            th = threading.Thread(target=slow_ask, daemon=True)
+            th.start()
+            time.sleep(0.2)             # let it enqueue
+            t0 = time.perf_counter()
+            with pytest.raises(EngineOverloadedError):
+                engine.ask("q2 ?", ["a", "b", "c", "d"], [], timeout=30.0)
+            assert time.perf_counter() - t0 < 1.0  # immediate, not timeout
+            assert engine.shed == 1
+            th.join(timeout=10)
+        finally:
+            engine.close()
 
     def test_save_only_if_dirty_skips_unchanged(self, served, small_config,
                                                 tmp_path):
