@@ -111,7 +111,8 @@ class AlbumStore:
     re-encoding its albums."""
 
     def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                 vocab: Vocab, max_bytes: int | None = None, mesh=None):
+                 vocab: Vocab, max_bytes: int | None = None, mesh=None,
+                 max_retained_inputs: int = 4096):
         from collections import OrderedDict
 
         self.cfg = cfg
@@ -130,17 +131,21 @@ class AlbumStore:
         self.shared = shared
         self.vocab = vocab
         self.max_bytes = max_bytes
+        self.max_retained_inputs = max_retained_inputs
         self.evictions = 0
+        self.evictions_unrecoverable = 0  # victim had no retained inputs
         self.reencodes = 0
         self._bytes = 0
         self._dirty = False
         self._store: "OrderedDict[str, tuple[jnp.ndarray, jnp.ndarray]]" = OrderedDict()
         # Host-side packed inputs per ingested album (numpy, OUTSIDE the device
-        # byte budget): an evicted album re-encodes on demand at query time, so
-        # LRU eviction is a performance event, never a silent-wrong-answer one.
-        # Albums restored from a saved cache (load()) have no retained inputs
-        # until re-ingested.
-        self._inputs: dict[str, ModelInputs] = {}
+        # byte budget, bounded by max_retained_inputs with LRU eviction): an
+        # evicted album with retained inputs re-encodes on demand at query
+        # time. Albums restored from a saved cache (load()) or whose inputs
+        # aged out of the bound become unanswerable if the DEVICE cache also
+        # evicts them (device eviction prefers re-encodable victims, and an
+        # unrecoverable eviction is counted in evictions_unrecoverable).
+        self._inputs: "OrderedDict[str, ModelInputs]" = OrderedDict()
         self._lock = threading.Lock()
         a1_cfg = cfg.replace(data=cfg.data.__class__(
             **{**cfg.data.__dict__, "max_albums": 1}))
@@ -163,24 +168,44 @@ class AlbumStore:
     def _entry_bytes(h, m) -> int:
         return int(h.size * h.dtype.itemsize + m.size * m.dtype.itemsize)
 
-    def _put(self, album_id: str, h, m) -> None:
+    def _put(self, album_id: str, h, m, mark_dirty: bool = True) -> None:
+        """mark_dirty=False for values already reflected on disk (restores and
+        on-demand re-encodes of previously saved entries) — otherwise re-encode
+        churn under budget pressure would make the periodic saver refetch and
+        rewrite the whole cache every period."""
         with self._lock:
             if album_id in self._store:
                 old = self._store.pop(album_id)
                 self._bytes -= self._entry_bytes(*old)
             self._store[album_id] = (h, m)
             self._bytes += self._entry_bytes(h, m)
-            self._dirty = True
+            if mark_dirty:
+                self._dirty = True
             while (self.max_bytes is not None and self._bytes > self.max_bytes
                    and len(self._store) > 1):
-                _, (eh, em) = self._store.popitem(last=False)   # LRU out
+                # Prefer LRU victims that CAN be re-encoded on demand (retained
+                # inputs) — even the just-inserted entry, which stays answerable
+                # via re-encode; an UNRECOVERABLE entry (restored from disk, no
+                # inputs) is only evicted when no recoverable victim remains,
+                # and that loss is counted.
+                victim = next((k for k in self._store if k in self._inputs), None)
+                if victim is None:
+                    victim = next(iter(self._store))
+                    self.evictions_unrecoverable += 1
+                eh, em = self._store.pop(victim)
                 self._bytes -= self._entry_bytes(eh, em)
                 self.evictions += 1
+                if victim == album_id:
+                    break  # the new entry itself was the only recoverable one
 
     def ingest(self, album: Album, photo_feats: dict[str, np.ndarray]) -> None:
         mi = _single_album_inputs(self.cfg, self.vocab, album, photo_feats)
         with self._lock:
+            if album.album_id in self._inputs:
+                self._inputs.pop(album.album_id)
             self._inputs[album.album_id] = mi       # host copy for re-encode
+            while len(self._inputs) > self.max_retained_inputs:
+                self._inputs.popitem(last=False)    # bound host memory (LRU)
         h, m = self._encode(self.params, self.shared,
                             jax.tree.map(jnp.asarray, mi), self.vocab_table)
         self._put(album.album_id, h[0], m[0])        # [6, T, 2H], [6, T]
@@ -199,11 +224,15 @@ class AlbumStore:
                     entries.append(self._store[a])
                     continue
                 mi = self._inputs.get(a)
+                if mi is not None:
+                    self._inputs.move_to_end(a)     # keep hot inputs retained
             if mi is not None:  # evicted: re-encode outside the lock
                 h, m = self._encode(self.params, self.shared,
                                     jax.tree.map(jnp.asarray, mi),
                                     self.vocab_table)
-                self._put(a, h[0], m[0])
+                # not dirty: reproduces a value the last save already captured
+                # (or the ingest-time dirty flag is still pending a save)
+                self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
                 entries.append((h[0], m[0]))
         t, h2 = d.max_context_time, 2 * self.cfg.model.hidden_dim
@@ -229,13 +258,16 @@ class AlbumStore:
             ids = list(self._store.keys())
             tree = {"h": [self._store[a][0] for a in ids],
                     "m": [self._store[a][1] for a in ids]}
-            self._dirty = False
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), tree, force=True)
         ckptr.wait_until_finished()
         ckptr.close()
         with open(os.path.join(path, "album_ids.json"), "w") as f:
             json.dump(ids, f)
+        with self._lock:
+            # cleared only AFTER a successful write — a failed save must leave
+            # the store dirty so the next periodic attempt retries
+            self._dirty = False
         return True
 
     def load(self, path: str) -> int:
@@ -244,14 +276,18 @@ class AlbumStore:
 
         with open(os.path.join(path, "album_ids.json")) as f:
             ids = json.load(f)
+        with self._lock:
+            was_empty = not self._store and not self._dirty
         ckptr = ocp.StandardCheckpointer()
         tree = ckptr.restore(os.path.abspath(path))
         ckptr.close()
         for a, h, m in zip(ids, tree["h"], tree["m"]):
             self._put(a, jnp.asarray(h), jnp.asarray(m.astype(bool)
-                                                     if hasattr(m, "astype") else m))
-        with self._lock:
-            self._dirty = False  # restored state == on-disk state
+                                                     if hasattr(m, "astype") else m),
+                      mark_dirty=False)
+        if was_empty:
+            with self._lock:
+                self._dirty = False  # restored state == on-disk state exactly
         return len(ids)
 
     @property
@@ -575,6 +611,8 @@ def serve_http(engine: QAEngine, store: AlbumStore,
                 self._json(200, {"albums": store.num_albums,
                                  "cache_bytes": store.cache_bytes,
                                  "evictions": store.evictions,
+                                 "evictions_unrecoverable":
+                                     store.evictions_unrecoverable,
                                  "reencodes": store.reencodes,
                                  "shed": engine.shed,
                                  **engine.stats, **engine.latency_stats()})

@@ -5,6 +5,8 @@ Runs in interpret mode on CPU here; tests/test_slow_regression.py and the bench
 exercise the compiled path on the real chip.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -198,13 +200,28 @@ def test_model_pallas_path_matches_ref_path(packed_synth, small_config):
     np.testing.assert_allclose(np.asarray(o_pal.logits), np.asarray(o_ref.logits),
                                rtol=1e-5, atol=1e-5)
 
-    # The backward composition doubles this test's interpret-mode cost (the
-    # suite's heaviest); kernel-level GRAD parity runs unconditionally above,
-    # so the full-model grad composition is gated behind the slow marker.
-    import os
 
-    if not os.environ.get("FVTA_RUN_SLOW"):
-        return
+@pytest.mark.skipif(not os.environ.get("FVTA_RUN_SLOW"),
+                    reason="interpret-mode full-model backward ~70s on 1 core; "
+                           "kernel-level grad parity runs unconditionally "
+                           "(FVTA_RUN_SLOW=1 to include)")
+def test_model_pallas_grad_composition_matches_ref(packed_synth, small_config):
+    """Full-model GRADIENT composition through the fused path (the forward
+    composition test above always runs; this is its backward half)."""
+    from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble
+    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+    from fvta_memexqa_tpu.models import FVTAModel
+
+    shared = SharedTables.from_packed(packed_synth.shared)
+    batch = device_put_batch(next(iter(Dataset(packed_synth, "train").get_batches(2))))
+    mi = assemble(shared, batch)
+    mc = small_config.model
+    cfg_ref = small_config.replace(
+        model=mc.__class__(**{**mc.__dict__, "use_pallas": False}))
+    cfg_pal = small_config.replace(
+        model=mc.__class__(**{**mc.__dict__, "use_pallas": True}))
+    m_ref, m_pal = FVTAModel(cfg=cfg_ref), FVTAModel(cfg=cfg_pal)
+    params = m_ref.init(jax.random.key(0), shared, mi, train=False)
 
     def loss(model, p):
         out = model.apply(p, shared, mi, train=False)

@@ -449,6 +449,58 @@ class TestHardening:
         finally:
             engine.close()
 
+    def test_eviction_prefers_reencodable_victims(self, served, small_config,
+                                                  tmp_path):
+        """Restored-from-disk entries (no retained inputs) are protected from
+        eviction while re-encodable victims remain; an unrecoverable eviction
+        is counted."""
+        model, params, shared, store, albums, feats = served
+        one = AlbumStore._entry_bytes(*next(iter(store._store.values())))
+        order = sorted(albums)
+        # save 2 albums to disk, restore into a budget-2 store (no inputs)
+        src = AlbumStore(small_config, model, params, shared, store.vocab)
+        for aid in order[:2]:
+            src.ingest(albums[aid], feats)
+        path = str(tmp_path / "c")
+        src.save(path)
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        max_bytes=int(one * 2.5))
+        s2.load(path)
+        # ingest a 3rd (re-encodable) album: it must become the victim pool's
+        # only member — the restored entries stay, no unrecoverable eviction
+        s2.ingest(albums[order[2]], feats)
+        assert order[0] in s2._store and order[1] in s2._store
+        assert order[2] not in s2._store  # evicted itself (only re-encodable)
+        assert s2.evictions_unrecoverable == 0
+        # ...and it is still answerable via re-encode
+        _, _, found = s2.get_stacked([order[2]])
+        assert found == 1 and s2.reencodes == 1
+
+    def test_failed_save_keeps_dirty(self, served, small_config, tmp_path,
+                                     monkeypatch):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab)
+        s2.ingest(albums[sorted(albums)[0]], feats)
+        import orbax.checkpoint as ocp
+
+        def boom(self, *a, **k):
+            raise IOError("disk full")
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+        with pytest.raises(IOError):
+            s2.save(str(tmp_path / "x"), only_if_dirty=True)
+        monkeypatch.undo()
+        # dirty survived the failure: the next periodic attempt still saves
+        assert s2.save(str(tmp_path / "y"), only_if_dirty=True) is True
+
+    def test_retained_inputs_bounded(self, served, small_config):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        max_retained_inputs=2)
+        for aid in sorted(albums)[:4]:
+            s2.ingest(albums[aid], feats)
+        assert len(s2._inputs) == 2  # host memory bounded (LRU)
+
     def test_save_only_if_dirty_skips_unchanged(self, served, small_config,
                                                 tmp_path):
         """A freshly restored cache must not be re-fetched and rewritten; a
