@@ -105,15 +105,23 @@ class VideoFVTAModel(nn.Module):
             self.w_x = self.param("sim_w_x", nn.initializers.normal(0.1), (h2,))
             self.w_y = self.param("sim_w_y", nn.initializers.normal(0.1), (h2,))
             self.w_xy = self.param("sim_w_xy", nn.initializers.normal(0.1), (h2,))
+        elif m.similarity == "bilinear":
+            h2 = 2 * m.hidden_dim
+            self.w_bilinear = self.param(
+                "sim_w_bilinear", nn.initializers.lecun_normal(), (h2, h2))
         self.scorer = nn.Dense(1, name="scorer")
 
-    def _embed_text(self, shared, words, chars, train):
-        m = self.cfg.model
-        if m.vocab_embed:
-            w = self.word_embed.full_table(shared.word_emb, shared.vocab_chars.shape[0])
-            c = self.char_cnn(shared.vocab_chars)
-            table = self.highway(jnp.concatenate([w, c], axis=-1))
-            x = table[words]
+    def _vocab_table(self, shared: SharedTables) -> jnp.ndarray:
+        """Full token-embedding table (same factorization as FVTAModel):
+        computed ONCE per forward and shared between question/choice embeds,
+        or precomputed per checkpoint by frozen-param consumers."""
+        w = self.word_embed.full_table(shared.word_emb, shared.vocab_chars.shape[0])
+        c = self.char_cnn(shared.vocab_chars)
+        return self.highway(jnp.concatenate([w, c], axis=-1))
+
+    def _embed_text(self, shared, words, chars, train, vocab_table=None):
+        if vocab_table is not None:
+            x = vocab_table[words]
         else:
             w = self.word_embed(words, shared.word_emb)
             c = self.char_cnn(chars)
@@ -131,21 +139,28 @@ class VideoFVTAModel(nn.Module):
         return out[:, None], vi.frame_mask[:, None]
 
     def answer(self, shared: SharedTables, vi: VideoInputs, h_ctx, ctx_mask,
-               train: bool = False, cp_attention=None) -> VideoOutput:
+               train: bool = False, cp_attention=None,
+               vocab_table=None) -> VideoOutput:
         m = self.cfg.model
-        q_emb = self._embed_text(shared, vi.q_words, vi.q_chars, train)
+        vt = vocab_table
+        if vt is None and m.vocab_embed:
+            vt = self._vocab_table(shared)  # once; shared by question + choices
+        q_emb = self._embed_text(shared, vi.q_words, vi.q_chars, train, vt)
         h_q, _ = self.enc_word(q_emb, vi.q_mask)
-        a_emb = self._embed_text(shared, vi.choice_words, vi.choice_chars, train)
+        a_emb = self._embed_text(shared, vi.choice_words, vi.choice_chars, train, vt)
         n, c_num = a_emb.shape[:2]
-        a_flat, a_fin = self.enc_word(
+        _, a_fin = self.enc_word(
             a_emb.reshape((n * c_num,) + a_emb.shape[2:]),
             vi.choice_mask.reshape(n * c_num, -1),
+            fin_only=True,
         )
         a_sum = a_fin.reshape(n, c_num, -1)
 
         sim_params = {}
         if m.similarity == "trilinear":
             sim_params = {"w_x": self.w_x, "w_y": self.w_y, "w_xy": self.w_xy}
+        elif m.similarity == "bilinear":
+            sim_params = {"w_bilinear": self.w_bilinear}
         if cp_attention is not None:
             attn = cp_attention(h_ctx, ctx_mask, h_q, vi.q_mask, sim_params)
         elif m.pallas_attention and m.attention == "fvta":
@@ -166,9 +181,11 @@ class VideoFVTAModel(nn.Module):
         return VideoOutput(logits=logits, attention=attn)
 
     def __call__(self, shared: SharedTables, vi: VideoInputs,
-                 train: bool = False, cp_attention=None) -> VideoOutput:
+                 train: bool = False, cp_attention=None,
+                 vocab_table=None) -> VideoOutput:
         h_ctx, ctx_mask = self.encode_frames(vi, train)
-        return self.answer(shared, vi, h_ctx, ctx_mask, train, cp_attention)
+        return self.answer(shared, vi, h_ctx, ctx_mask, train, cp_attention,
+                           vocab_table)
 
 
 def video_loss(model: VideoFVTAModel, params, shared, vi: VideoInputs, rng, train):

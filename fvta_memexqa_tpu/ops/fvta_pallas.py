@@ -49,7 +49,7 @@ def _on_tpu() -> bool:
 
 def _kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
             ctx_ref, qatt_ref, ta_ref, sa_ref,
-            run_max, run_den, run_v, e_buf, qmx, *, num_tblocks: int):
+            run_max, run_den, run_v, e_buf, qmx, cmx, *, num_tblocks: int):
     tb_i = pl.program_id(1)
     s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
     j = q_ref.shape[1]
@@ -60,6 +60,7 @@ def _kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
         run_den[:] = jnp.zeros_like(run_den)
         run_v[:] = jnp.zeros_like(run_v)
         qmx[:] = jnp.full_like(qmx, NEG)
+        cmx[:] = jnp.zeros_like(cmx)
 
     h = h_ref[0]                                   # [S, Tb, D]
     cm = cm_ref[0]                                 # [S, Tb] f32
@@ -97,10 +98,15 @@ def _kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
     # question-side running max over valid (s, t)
     c_smasked = c + (1.0 - cm[:, :, None]) * NEG                    # [S, Tb, J]
     qmx[:] = jnp.maximum(qmx[:], jnp.max(c_smasked, axis=(0, 1)).reshape(1, j))
+    cmx[:] = jnp.maximum(cmx[:], jnp.max(cm, axis=-1, keepdims=True))
 
     @pl.when(tb_i == num_tblocks - 1)
     def _finalize():
-        seq_valid = (run_max[:] > NEG * 0.5).astype(jnp.float32)    # [S, 1]
+        # seq validity from the CONTEXT mask itself (cmx), not from run_max:
+        # an all-masked QUESTION also absorbs run_max to -1e30, but the
+        # reference's seq_mask = ctx_mask.any(-1) still marks such sequences
+        # valid (finite-uniform exp_mask semantics) — the two must match.
+        seq_valid = (cmx[:] > 0.5).astype(jnp.float32)              # [S, 1]
         g = run_max[:] + (1.0 - seq_valid) * NEG
         g_max = jnp.max(g, axis=0, keepdims=True)
         b = jnp.exp(g - g_max)
@@ -265,6 +271,7 @@ def _fvta_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int, interpret: boo
             pltpu.VMEM((s, d), jnp.float32),    # run_v
             pltpu.VMEM((nt, s, tblock), jnp.float32),  # e_buf (raw scores, all blocks)
             pltpu.VMEM((1, j), jnp.float32),    # qmx
+            pltpu.VMEM((s, 1), jnp.float32),    # cmx (per-seq ctx-mask max)
         ],
         interpret=interpret,
     )(h, cm_f, q, qm_f, wx, wy, wxy)
@@ -311,19 +318,16 @@ def _core(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
 def _core_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
     if interpret is None:
         interpret = not _on_tpu()
-    n, s, t, d = h.shape
-    # Mosaic mis-lowers some reductions at S<8 (sublane underflow); padded sequences
-    # are fully masked so they contribute nothing and are sliced back off below.
-    s_pad = max(s, 8)
-    if s_pad != s:
-        h = jnp.pad(h, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
-        cm_f = jnp.pad(cm_f, ((0, 0), (0, s_pad - s), (0, 0)))
-    tb = tblock or _pick_tblock(t)
+    s = h.shape[1]
+    # the dispatch in fvta_attention_pallas routes S<8 to the XLA path, so the
+    # kernel always sees the Mosaic sublane minimum (stats mode pads instead)
+    assert s >= 8, "fused FVTA kernel requires S >= 8 (dispatch handles S < 8)"
+    tb = tblock or _pick_tblock(h.shape[2])
     ctx, qatt, ta, sa = _fvta_pallas_call(
         h, cm_f, q, qm_f[:, None, :], wx[None], wy[None], wxy[None], tb, interpret
     )
     return AttentionOutput(context=ctx[:, 0], question=qatt[:, 0],
-                           time_attn=ta[:, :s], seq_attn=sa[:, 0, :s])
+                           time_attn=ta, seq_attn=sa[:, 0])
 
 
 def _core_fwd(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):

@@ -170,7 +170,12 @@ def _tiling(n: int, blocked_w: int, hp: int) -> tuple[int, int, int, int]:
     """
     bb = max(8, min(1024, _VMEM_BUDGET // (8 * blocked_w) // 8 * 8))
     bb = min(bb, _round_up(n, 8))
-    seg_rows = min(_MAX_SEG_ROWS, _round_up(n, bb))
+    # The (h, c) state scratch is seg_rows x 2*hp f32 and lives for the whole
+    # segment ON TOP of the double-buffered blocks — cap segment rows by its
+    # own budget or wide-hidden configs (hp > 128) overflow VMEM. 4.5 MB keeps
+    # the flagship (hp=128) tiling at the full _MAX_SEG_ROWS unchanged.
+    state_cap = max(bb, 4_500_000 // (8 * hp) // 8 * 8)
+    seg_rows = min(_MAX_SEG_ROWS, state_cap, _round_up(n, bb))
     nb = max(1, seg_rows // bb)
     nseg = -(-_round_up(n, bb) // (nb * bb))
     return bb, nb, nseg, nseg * nb * bb

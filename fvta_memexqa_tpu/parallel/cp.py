@@ -88,8 +88,13 @@ def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
     den_g = jax.lax.psum(den * scale, axis_name)
     v_g = jax.lax.psum(v * scale[..., None], axis_name)
 
-    # sequence-level focal softmax over the GLOBAL per-sequence maxima
-    seq_valid = m_g > VERY_NEGATIVE * 0.5                          # [N, S]
+    # sequence-level focal softmax over the GLOBAL per-sequence maxima.
+    # Validity comes from the CONTEXT mask (any valid t on any shard), not from
+    # m_g: an all-masked QUESTION also absorbs m_g to -1e30, but the reference
+    # seq_mask = ctx_mask.any(-1) still counts such sequences (finite-uniform
+    # exp_mask semantics — ops/masking.py).
+    seq_valid = jax.lax.psum(
+        cm.any(axis=-1).astype(m_g.dtype), axis_name) > 0.5        # [N, S]
     g = jnp.where(seq_valid, m_g, VERY_NEGATIVE)
     b = jax.nn.softmax(g, axis=-1) * seq_valid                     # [N, S]
     b = b / jnp.maximum(b.sum(-1, keepdims=True), 1e-30)

@@ -83,6 +83,19 @@ class TestFVTAPallasParity:
         assert np.isfinite(np.asarray(out.context)).all()
         assert_close(out, ref)
 
+    def test_all_masked_question_matches_ref(self):
+        """A row whose question is ENTIRELY masked (batch padding) must still
+        reproduce the reference's finite-uniform attention maps — seq validity
+        comes from the context mask, not from the absorbed score max."""
+        h, cm, q, qm, p = make_case(t=8, seed=9)
+        qm = np.asarray(qm).copy()
+        qm[0, :] = False
+        qm = jnp.asarray(qm)
+        out = fvta_attention_pallas(h, cm, q, qm, "trilinear", p)
+        ref = ref_out(h, cm, q, qm, p)
+        assert np.asarray(ref.time_attn)[0].sum() > 0  # ref maps are uniform
+        assert_close(out, ref)
+
     def test_larger_shapes(self):
         h, cm, q, qm, p = make_case(n=4, s=24, t=24, j=30, d=200, seed=7)
         assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p),

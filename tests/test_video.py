@@ -55,6 +55,38 @@ def video_setup():
 
 
 class TestVideoForward:
+    @pytest.mark.parametrize("similarity", ["dot", "bilinear"])
+    def test_similarity_kinds_run(self, video_setup, similarity):
+        """All config-documented similarity kernels must work in the video
+        model too (bilinear was a KeyError until round 2)."""
+        import dataclasses
+
+        cfg, vi, shared = video_setup
+        cfg2 = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                     similarity=similarity))
+        model = VideoFVTAModel(cfg=cfg2, num_choices=5)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
+        assert np.isfinite(np.asarray(out.logits)).all()
+
+    def test_vocab_table_shared_and_precomputable(self, video_setup):
+        """vocab_embed path: the table computes once per forward and a
+        precomputed table gives identical logits (frozen-param consumers)."""
+        import dataclasses
+
+        cfg, vi, shared = video_setup
+        cfg2 = cfg.replace(model=dataclasses.replace(cfg.model, vocab_embed=True))
+        model = VideoFVTAModel(cfg=cfg2, num_choices=5)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        o1 = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
+        vt = model.apply(params, shared, method=VideoFVTAModel._vocab_table)
+        o2 = jax.jit(lambda p, v: model.apply(p, shared, vi, train=False,
+                                              vocab_table=v))(params, vt)
+        np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                                   rtol=1e-5, atol=1e-6)
+
     @pytest.mark.parametrize("enc", ["dilated_conv", "bilstm"])
     def test_forward_shapes(self, video_setup, enc):
         cfg, vi, shared = video_setup
