@@ -31,41 +31,65 @@ class CheckpointManager:
             self.cfg = load_config(cfg_path)
         else:
             self.cfg = None
+        # Two directories, exactly like the reference's Saver flow (periodic
+        # checkpoints + a separate best_model dir): the latest-N manager prunes
+        # EVERY checkpoint by recency (metricless periodic saves included —
+        # a single best-tracking manager with keep_checkpoints_without_metrics
+        # preserves metricless saves forever, growing disk without bound), and
+        # the best manager keeps only the best-on-val state.
         self.mgr = ocp.CheckpointManager(
             os.path.join(self.directory, "ckpts"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=True,
+            ),
+        )
+        self.best_mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
                 best_fn=lambda m: m["val_acc"],
                 best_mode="max",
-                keep_checkpoints_without_metrics=True,
+                keep_checkpoints_without_metrics=False,
                 create=True,
                 enable_async_checkpointing=True,
             ),
         )
 
     def save(self, step: int, state: Any, val_acc: float | None = None) -> None:
-        metrics = {"val_acc": float(val_acc)} if val_acc is not None else None
-        self.mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if val_acc is not None:
+            self.best_mgr.save(step, args=ocp.args.StandardSave(state),
+                               metrics={"val_acc": float(val_acc)})
 
     def latest_step(self) -> int | None:
         return self.mgr.latest_step()
 
     def best_step(self) -> int | None:
-        return self.mgr.best_step()
+        return self.best_mgr.best_step()
 
     def restore(self, abstract_state: Any, step: int | None = None, best: bool = False) -> Any:
         """Restore `step` (default: latest; best=True → best-on-val, reference
-        --load_best). abstract_state: a pytree of ShapeDtypeStruct/arrays giving
-        structure."""
+        --load_best). A best=True request falls back to the latest checkpoint
+        when no validation metric was ever recorded (e.g. --val-fraction 0),
+        instead of failing a run that has perfectly good checkpoints."""
+        if step is None and best:
+            step = self.best_step()
+            if step is not None:
+                return self.best_mgr.restore(
+                    step, args=ocp.args.StandardRestore(abstract_state))
         if step is None:
-            step = self.best_step() if best else self.latest_step()
+            step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def wait(self):
         self.mgr.wait_until_finished()
+        self.best_mgr.wait_until_finished()
 
     def close(self):
-        self.mgr.wait_until_finished()
+        self.wait()
         self.mgr.close()
+        self.best_mgr.close()

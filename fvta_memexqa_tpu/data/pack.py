@@ -103,16 +103,26 @@ class BatchEncoder:
     def encode(self, texts: list[str], max_len: int, max_word_len: int):
         """→ (words i32 [N, L], chars i32 [N, L, W], mask bool [N, L]).
 
-        UNK tokens get PAD chars (see _encode_text) — enforced here after either
-        path so the native and Python encoders share the canonical semantics."""
+        Per-text routing: the ASCII subset goes through the native batch
+        encoder in ONE call, the rest through the Python spec — a single
+        non-ASCII string (real Flickr text reliably has some) must not
+        demote the whole corpus to the slow path. UNK tokens get PAD chars
+        (see _encode_text) — enforced after either path so both encoders
+        share the canonical semantics."""
         n = len(texts)
-        if self._enc is not None and all(t.isascii() for t in texts):
-            words, chars, mask = self._enc.encode_batch(texts, max_len, max_word_len)
-        else:
-            words = np.zeros((n, max_len), dtype=np.int32)
-            chars = np.zeros((n, max_len, max_word_len), dtype=np.int32)
-            mask = np.zeros((n, max_len), dtype=bool)
-            for i, t in enumerate(texts):
+        words = np.zeros((n, max_len), dtype=np.int32)
+        chars = np.zeros((n, max_len, max_word_len), dtype=np.int32)
+        mask = np.zeros((n, max_len), dtype=bool)
+        ascii_idx = ([i for i, t in enumerate(texts) if t.isascii()]
+                     if self._enc is not None else [])
+        if ascii_idx:
+            w, c, m = self._enc.encode_batch([texts[i] for i in ascii_idx],
+                                             max_len, max_word_len)
+            ii = np.asarray(ascii_idx)
+            words[ii], chars[ii], mask[ii] = w, c, m
+        done = set(ascii_idx)
+        for i, t in enumerate(texts):
+            if i not in done:
                 words[i], chars[i], mask[i] = _encode_text(
                     tokenize(t), self.vocab, max_len, max_word_len)
         chars[words == 1] = 0  # UNK_ID → PAD chars (canonical UNK semantics)

@@ -62,27 +62,44 @@ def write_shards(pack_dir: str, base: str, arrays: dict[str, np.ndarray],
     return len(sizes)
 
 
+def _source_fingerprint(path: str) -> list:
+    st = os.stat(path)
+    return [int(st.st_size), int(st.st_mtime_ns)]
+
+
 def write_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
     """Re-shard an in-memory-pack split file (data_{split}.npz) for streaming.
 
     The conversion itself needs one split array at a time in memory (npz offers
     no row slicing); packs too large even for that should be produced sharded
     at pack time (the video packer already is)."""
+    src = os.path.join(pack_dir, f"data_{split}.npz")
     arrays = {}
-    with np.load(os.path.join(pack_dir, f"data_{split}.npz")) as z:
+    with np.load(src) as z:
         for k in z.files:
             arrays[k] = z[k]
-    return write_shards(pack_dir, f"data_{split}", arrays, shard_size)
+    n = write_shards(pack_dir, f"data_{split}", arrays, shard_size)
+    idx = _index_path(pack_dir, f"data_{split}")
+    with open(idx) as f:
+        index = json.load(f)
+    index["source"] = _source_fingerprint(src)  # guards against stale reuse
+    with open(idx, "w") as f:
+        json.dump(index, f)
+    return n
 
 
 def ensure_split_shards(pack_dir: str, split: str, shard_size: int) -> int:
-    """write_split_shards, skipped when a matching index already exists —
-    resumes of a streaming run don't pay the re-shard again."""
+    """write_split_shards, skipped only when the index matches BOTH the
+    requested shard_size and the current split file (size + mtime fingerprint)
+    — a resume skips the re-shard, but a re-run of prepro into the same pack
+    dir invalidates the shards instead of silently training on old data."""
     idx = _index_path(pack_dir, f"data_{split}")
+    src = os.path.join(pack_dir, f"data_{split}.npz")
     if os.path.exists(idx):
         with open(idx) as f:
             existing = json.load(f)
-        if existing.get("shard_size") == shard_size:
+        if (existing.get("shard_size") == shard_size
+                and existing.get("source") == _source_fingerprint(src)):
             return len(existing["sizes"])
     return write_split_shards(pack_dir, split, shard_size)
 

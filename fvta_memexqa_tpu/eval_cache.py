@@ -87,11 +87,9 @@ def make_cached_eval_step(cfg: Config, model: FVTAModel):
         ctx_mask = m.reshape(n, a * n_mod, t)
         out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
                           vocab_table=vocab_table, method=model.answer)
-        logp = jax.nn.log_softmax(out.logits)
-        nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
-        w = mi.ex_mask.astype(logp.dtype)
-        correct = ((jnp.argmax(out.logits, -1) == mi.label).astype(logp.dtype) * w).sum()
-        return {"correct": correct, "count": w.sum(), "loss_sum": (nll * w).sum()}
+        from fvta_memexqa_tpu.train import masked_choice_metrics
+
+        return masked_choice_metrics(out.logits, mi.label, mi.ex_mask)
 
     return jax.jit(eval_step)
 

@@ -119,8 +119,11 @@ def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx",
     use_pallas: per-shard stats via the fused blockwise kernel."""
     try:
         from jax import shard_map  # jax >= 0.7 canonical location
+        check_kw = {"check_vma": False}
     except ImportError:  # pragma: no cover
+        # the experimental signature predates the check_vma rename
         from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
 
     def fn(h, cm, q, qm, sim_params):
         return fvta_attention_cp(h, cm, q, qm, similarity, sim_params, axis_name,
@@ -135,7 +138,7 @@ def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx",
             context=P(), question=P(),
             time_attn=P(None, None, axis_name), seq_attn=P(),
         ),
-        check_vma=False,
+        **check_kw,
     )
 
 

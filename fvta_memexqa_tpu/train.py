@@ -68,6 +68,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return opt
 
 
+def masked_choice_metrics(logits, label, ex_mask) -> dict:
+    """Parity-critical metric tail shared by every eval/train path: masked
+    per-example NLL + correctness counts (ex_mask excludes pad rows)."""
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, label[:, None], axis=1)[:, 0]
+    w = ex_mask.astype(logp.dtype)
+    correct = ((jnp.argmax(logits, -1) == label).astype(logp.dtype) * w).sum()
+    return {"correct": correct, "count": w.sum(), "loss_sum": (nll * w).sum()}
+
+
 def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batch,
                      dropout_rng, train: bool, vocab_table=None, photo_table=None):
     """Masked 4-way cross-entropy + accuracy counts. ex_mask excludes pad rows.
@@ -77,13 +87,9 @@ def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batc
     rngs = {"dropout": dropout_rng} if train else None
     out = model.apply(params, shared, mi, train=train, rngs=rngs,
                       vocab_table=vocab_table)
-    logp = jax.nn.log_softmax(out.logits)                       # [N, 4]
-    nll = -jnp.take_along_axis(logp, mi.label[:, None], axis=1)[:, 0]
-    w = mi.ex_mask.astype(logp.dtype)
-    wsum = jnp.maximum(w.sum(), 1.0)
-    loss = (nll * w).sum() / wsum
-    correct = ((jnp.argmax(out.logits, -1) == mi.label).astype(logp.dtype) * w).sum()
-    return loss, {"correct": correct, "count": w.sum(), "loss_sum": (nll * w).sum()}
+    m = masked_choice_metrics(out.logits, mi.label, mi.ex_mask)
+    loss = m["loss_sum"] / jnp.maximum(m["count"], 1.0)
+    return loss, m
 
 
 def init_state(cfg: Config, model: FVTAModel, shared: SharedTables, batch: Batch,
@@ -272,33 +278,42 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     #                               sync per step just to read the counter
 
     xfer = (lambda b: shard_batch(mesh, b)) if mesh is not None else device_put_batch
+    window_steps = 0  # steps in the CURRENT timing window (exact across resume/val)
+    profiling = False
     for epoch in range(start_epoch, t.num_epochs):
         if done:
             break
         batch_it = train_ds.get_batches(t.batch_size, shuffle=True,
                                         seed=t.seed, epoch=epoch)
+        if epoch == start_epoch and skip_batches:
+            # already consumed before the checkpoint — drop them BEFORE the
+            # prefetcher so the skip costs host slicing only, not transfers
+            import itertools
+
+            batch_it = itertools.islice(batch_it, skip_batches, None)
         if prefetch > 0:
             from fvta_memexqa_tpu.data.stream import Prefetcher
 
             batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
         try:
-            for bi, batch in enumerate(batch_it):
-                if epoch == start_epoch and bi < skip_batches:
-                    continue  # already consumed before the checkpoint
+            for batch in batch_it:
                 if prefetch <= 0:
                     batch = xfer(batch)
                 # Tracing (SURVEY.md section 5): profile steps [10, 15) once,
                 # after compile noise settles; view with tensorboard/perfetto.
                 if profile_dir and steps_done == 10:
                     jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 if not timer.samples and timer._t0 is None:
                     timer.start()  # window opens on the first step after a log
                 state, m = train_step(state, shared, batch)
                 steps_done += 1
+                window_steps += 1
                 step = steps_done
-                if profile_dir and step == 15:
+                if profiling and step == 15:
                     jax.block_until_ready(m["loss"])
                     jax.profiler.stop_trace()
+                    profiling = False
                     log.log("profile", step=step, dir=profile_dir)
                 if step % t.log_period == 0:
                     # Sync only here: steps dispatch asynchronously between
@@ -308,13 +323,14 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
                     check_finite_loss(float(m["loss"]), step)
                     timer.stop()
                     window = timer.samples[-1]
-                    n_steps = min(t.log_period, step)
+                    n_steps = max(window_steps, 1)
                     bs = t.batch_size
                     log.log("train", step=step, epoch=epoch, loss=float(m["loss"]),
                             acc=float(m["acc"]),
                             qa_pairs_per_sec=bs * n_steps / max(window, 1e-9),
                             p50_step_ms=window / n_steps * 1e3)
                     timer.reset()
+                    window_steps = 0
                 if val_ds is not None and step % t.val_period == 0:
                     vm = evaluate(eval_step, state.params, shared, val_ds,
                                   t.eval_batch_size, mesh,
@@ -323,6 +339,10 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
                     log.log("val", step=step, acc=vm["acc"], loss=vm["loss"])
                     best_val = max(best_val, vm["acc"])
                     ckpt.save(step, state, val_acc=vm["acc"])
+                    # discard any partial timing window: val wall time must not
+                    # be attributed to training throughput
+                    timer.reset()
+                    window_steps = 0
                 elif step % t.save_period == 0:
                     ckpt.save(step, state)
                 if num_steps is not None and step >= num_steps:
@@ -331,6 +351,9 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
         finally:
             if prefetch > 0:
                 batch_it.close()  # early break/exception: stop the worker
+    if profiling:  # run ended inside the profile window: close the trace
+        jax.profiler.stop_trace()
+        log.log("profile", step=int(steps_done), dir=profile_dir)
 
     # final val + save
     step = int(state.step)

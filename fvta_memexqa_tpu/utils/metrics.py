@@ -37,7 +37,9 @@ class Timer:
         return sum(self.samples) / len(self.samples) if self.samples else 0.0
 
     def reset(self):
+        """Clear samples AND any open window (a reset mid-window discards it)."""
         self.samples = []
+        self._t0 = None
 
 
 class MetricsLogger:

@@ -78,3 +78,37 @@ class TestBestTracking:
         mgr = CheckpointManager(str(tmp_path / "empty"), small_config)
         with pytest.raises(FileNotFoundError):
             mgr.restore({"w": np.zeros(2)})
+
+    def test_load_best_falls_back_to_latest_without_metrics(self, tmp_path,
+                                                            small_config):
+        """A run that never recorded val metrics (e.g. --val-fraction 0) must
+        still be testable with the default --load-best flow."""
+        mgr = CheckpointManager(str(tmp_path / "nb"), small_config)
+        mgr.save(1, {"w": np.arange(3.0)})
+        mgr.save(2, {"w": np.arange(3.0) + 1})
+        mgr.wait()
+        assert mgr.best_step() is None
+        restored = mgr.restore({"w": np.zeros(3)}, best=True)
+        np.testing.assert_array_equal(restored["w"], np.arange(3.0) + 1)
+
+    def test_metricless_checkpoints_are_pruned(self, tmp_path, small_config):
+        """Periodic (metricless) saves must respect max_to_keep — with the old
+        single-manager layout they were preserved forever."""
+        mgr = CheckpointManager(str(tmp_path / "pr"), small_config, max_to_keep=2)
+        for s in range(1, 6):
+            mgr.save(s, {"w": np.full(2, float(s))})
+        mgr.wait()
+        assert sorted(mgr.mgr.all_steps()) == [4, 5]
+
+    def test_best_survives_latest_pruning(self, tmp_path, small_config):
+        """The best-on-val checkpoint stays restorable even after the latest-N
+        window has rolled past its step (the reference's best_model dir)."""
+        mgr = CheckpointManager(str(tmp_path / "bs"), small_config, max_to_keep=2)
+        mgr.save(1, {"w": np.full(2, 1.0)}, val_acc=0.9)   # best
+        for s in range(2, 7):
+            mgr.save(s, {"w": np.full(2, float(s))},
+                     val_acc=0.1 if s == 4 else None)
+        mgr.wait()
+        assert mgr.best_step() == 1
+        restored = mgr.restore({"w": np.zeros(2)}, best=True)
+        np.testing.assert_array_equal(restored["w"], np.full(2, 1.0))

@@ -69,6 +69,29 @@ class TestNativeParity:
         assert unk_pos.any()
         assert (np.asarray(c_n[-1])[unk_pos] == 0).all()
 
+    def test_encoder_mixed_unicode_batch(self):
+        """A batch with SOME non-ASCII texts must still route the ASCII subset
+        through the native encoder (one stray emoji must not demote the whole
+        corpus — real Flickr text reliably has some), with output identical to
+        the all-Python path."""
+        from fvta_memexqa_tpu.data.pack import BatchEncoder, _encode_text
+        from fvta_memexqa_tpu.data.vocab import Vocab
+
+        words = ["photo", "of", "zebra", "café", "über"]
+        vocab = Vocab.build(words * 2, None, dim=4, seed=0)
+        enc = BatchEncoder(vocab)
+        assert enc._enc is not None
+        texts = ["a photo of zebra", "café über alles ☃", "photo photo",
+                 "", "zébra photo"]
+        w_n, c_n, m_n = enc.encode(texts, max_len=8, max_word_len=6)
+        for i, t in enumerate(texts):
+            w_p, c_p, m_p = _encode_text(tokenize(t), vocab, 8, 6)
+            c_p = np.asarray(c_p).copy()
+            c_p[np.asarray(w_p) == 1] = 0  # canonical UNK-chars boundary
+            np.testing.assert_array_equal(w_n[i], w_p, err_msg=repr(t))
+            np.testing.assert_array_equal(c_n[i], c_p, err_msg=repr(t))
+            np.testing.assert_array_equal(m_n[i], m_p, err_msg=repr(t))
+
     def test_pack_native_vs_python_identical(self, tmp_path, monkeypatch):
         """Whole-pack parity: FVTA_NO_NATIVE pack must equal native pack bit-wise."""
         from fvta_memexqa_tpu.data import load_pack, make_synthetic, pack

@@ -96,6 +96,24 @@ class TestStreamingDataset:
         n2 = ensure_split_shards(d, "train", 3)
         assert n2 != n1  # size change re-shards
 
+    def test_ensure_split_shards_invalidates_on_new_pack(self, sharded, tmp_path):
+        """Re-running prepro into the same dir must invalidate old shards —
+        the index fingerprints the split file (size+mtime)."""
+        import shutil
+
+        from fvta_memexqa_tpu.data.stream import ensure_split_shards
+
+        d = str(tmp_path / "pack3")
+        shutil.copytree(sharded, d)
+        ensure_split_shards(d, "train", 5)
+        m1 = os.path.getmtime(os.path.join(d, "data_train.shard-00000.npz"))
+        # simulate a re-prepro: touch the split file with a new mtime
+        src = os.path.join(d, "data_train.npz")
+        os.utime(src, (os.path.getatime(src), os.path.getmtime(src) + 10))
+        ensure_split_shards(d, "train", 5)
+        m2 = os.path.getmtime(os.path.join(d, "data_train.shard-00000.npz"))
+        assert m2 > m1  # shards rebuilt, not silently reused
+
     def test_lru_cache_touch_order(self, sharded):
         ds = StreamingDataset(sharded, "train", cache_shards=2)
         ds._shard(0)
