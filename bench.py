@@ -21,8 +21,8 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     record_cpu = "--record-cpu-baseline" in sys.argv
-    # default flips to "1" once the Pallas kernels land
-    use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0") not in ("0", "false")
+    use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0").lower() in (
+        "1", "true", "yes")
     if record_cpu:
         import jax
 
@@ -85,8 +85,12 @@ def main():
     from fvta_memexqa_tpu.bench_lib import device_peaks, step_cost
 
     mfu = train_mfu = hbm_util = None
-    fwd_cost = step_cost(cfg, best.batch_size)
-    train_cost = step_cost(cfg, 64, train=True)
+    # FLOPs are ALWAYS costed on the XLA (non-Pallas) program: custom-call
+    # kernels contribute 0 FLOPs to XLA's cost model, which would silently
+    # understate model_flops/MFU several-fold under FVTA_BENCH_PALLAS=1.
+    cost_cfg = realistic_config(use_pallas=False)
+    fwd_cost = step_cost(cost_cfg, best.batch_size)
+    train_cost = step_cost(cost_cfg, 64, train=True)
     peaks = device_peaks()
     if peaks is not None:
         peak_flops, peak_hbm = peaks

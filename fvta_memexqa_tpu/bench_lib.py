@@ -54,9 +54,8 @@ def synth_shared(cfg: Config, num_albums: int = 630, num_photos: int = 5090,
     rng = np.random.default_rng(seed)
     n_alb, n_ph = num_albums + 1, num_photos + 1
 
-    def words(shape, fill=0.9):
-        w = rng.integers(2, d.word_vocab_size, shape).astype(np.int32)
-        return w
+    def words(shape):
+        return rng.integers(2, d.word_vocab_size, shape).astype(np.int32)
 
     def chars(shape):
         return rng.integers(2, d.char_vocab_size, shape).astype(np.int32)
@@ -113,6 +112,29 @@ class BenchResult:
     qa_pairs_per_sec: float
     p50_latency_ms: float
     compile_s: float
+
+
+def _median_slope(run, k_small: int, k_large: int, reps: int) -> float:
+    """Median slope (time(k_large) - time(k_small)) / (k_large - k_small).
+
+    THE mandatory timing ritual on this box (module docstring + BASELINE.md):
+    `run(k)` must execute k dependency-chained iterations inside ONE jit and
+    block on the result; the slope cancels the constant dispatch/fetch
+    overhead the axon tunnel adds to every call. Single definition so every
+    benchmark measures identically."""
+    run(k_small)  # compile
+    run(k_large)
+    slopes = []
+    for _ in range(reps):
+        run(k_small)  # drain the dispatch queue
+        t0 = time.perf_counter()
+        run(k_small)
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(k_large)
+        d2 = time.perf_counter() - t0
+        slopes.append((d2 - d1) / (k_large - k_small))
+    return sorted(slopes)[len(slopes) // 2]
 
 
 # ---------------------------------------------------------------------------
@@ -279,19 +301,8 @@ def bench_train(cfg: Config, batch_size: int = 64, k_small: int = 10,
             0, k, body, (st.params, st.opt_state, jnp.int32(0)))
         return jax.tree.leaves(params)[0].sum()
 
-    np.asarray(loop(state, shared, batch, k_small))
-    np.asarray(loop(state, shared, batch, k_large))
-    slopes = []
-    for _ in range(reps):
-        np.asarray(loop(state, shared, batch, k_small))
-        t0 = time.perf_counter()
-        np.asarray(loop(state, shared, batch, k_small))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(loop(state, shared, batch, k_large))
-        d2 = time.perf_counter() - t0
-        slopes.append((d2 - d1) / (k_large - k_small))
-    return batch_size / sorted(slopes)[len(slopes) // 2]
+    return batch_size / _median_slope(
+        lambda k: np.asarray(loop(state, shared, batch, k)), k_small, k_large, reps)
 
 
 def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
@@ -330,7 +341,7 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
         np.asarray(cache_h[0, 0, 0, 0])  # sync through the tunnel
         cache_s = time.perf_counter() - t0
 
-    n_mod = cache_h.shape[1]
+    from fvta_memexqa_tpu.eval_cache import gather_cached_context
 
     @partial(jax.jit, static_argnums=5)
     def loop(p, sh, b, cache, vt, k):
@@ -341,13 +352,11 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
             b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb,
                            album_idx=b.album_idx + fb)
             mi = assemble(sh, b2)
-            n, a = b2.album_idx.shape
-            h = ch[b2.album_idx]
-            m = cm[b2.album_idx] & b2.album_mask[:, :, None, None]
-            t = h.shape[3]
+            # the exact production gather (eval_cache.gather_cached_context);
             # vt loop-invariant by design: cached per checkpoint in production
-            out = model.apply(p, sh, mi, h.reshape(n, a * n_mod, t, -1),
-                              m.reshape(n, a * n_mod, t), train=False,
+            h_ctx, ctx_mask = gather_cached_context(ch, cm, b2.album_idx,
+                                                    b2.album_mask)
+            out = model.apply(p, sh, mi, h_ctx, ctx_mask, train=False,
                               vocab_table=vt, method=model.answer)
             s = out.logits.sum()
             return acc + s, jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)
@@ -355,19 +364,9 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
         return jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.int32(0)))[0]
 
     cache = (cache_h, cache_m)
-    np.asarray(loop(params, shared, batch, cache, vt0, k_small))
-    np.asarray(loop(params, shared, batch, cache, vt0, k_large))
-    slopes = []
-    for _ in range(reps):
-        np.asarray(loop(params, shared, batch, cache, vt0, k_small))
-        t0 = time.perf_counter()
-        np.asarray(loop(params, shared, batch, cache, vt0, k_small))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(loop(params, shared, batch, cache, vt0, k_large))
-        d2 = time.perf_counter() - t0
-        slopes.append((d2 - d1) / (k_large - k_small))
-    per = sorted(slopes)[len(slopes) // 2]
+    per = _median_slope(
+        lambda k: np.asarray(loop(params, shared, batch, cache, vt0, k)),
+        k_small, k_large, reps)
     return batch_size / per, cache_s, (params, cache_h, cache_m, vt0, pt0)
 
 
@@ -385,9 +384,11 @@ def bench_video(t_frames: int, use_pallas: bool, batch_size: int = 8,
 
     from fvta_memexqa_tpu.models.video import VideoFVTAModel, make_synthetic_video
 
+    import dataclasses
+
     cfg = realistic_config()
-    cfg = cfg.replace(model=cfg.model.__class__(
-        **{**cfg.model.__dict__, "pallas_attention": use_pallas}))
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                pallas_attention=use_pallas))
     model = VideoFVTAModel(cfg=cfg, num_choices=5)
     shared = synth_shared(cfg, num_albums=2, num_photos=2, seed=seed)
     vi, _ = make_synthetic_video(cfg, num_videos=batch_size, num_frames=t_frames,
@@ -408,19 +409,8 @@ def bench_video(t_frames: int, use_pallas: bool, batch_size: int = 8,
 
         return jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.int32(0)))[0]
 
-    np.asarray(loop(params, shared, vi, k_small))
-    np.asarray(loop(params, shared, vi, k_large))
-    slopes = []
-    for _ in range(reps):
-        np.asarray(loop(params, shared, vi, k_small))
-        t0 = time.perf_counter()
-        np.asarray(loop(params, shared, vi, k_small))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(loop(params, shared, vi, k_large))
-        d2 = time.perf_counter() - t0
-        slopes.append((d2 - d1) / (k_large - k_small))
-    per = sorted(slopes)[len(slopes) // 2]
+    per = _median_slope(lambda k: np.asarray(loop(params, shared, vi, k)),
+                        k_small, k_large, reps)
     return batch_size * t_frames / per
 
 
@@ -445,19 +435,9 @@ def bench_inference(cfg: Config, batch_sizes=(8, 64, 256), k_small: int = 25,
         t0 = time.perf_counter()
         np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))
         compile_s = time.perf_counter() - t0
-        np.asarray(fwd_loop(params, shared, batch, vt, pt, k_large))  # compile large
-
-        slopes = []
-        for _ in range(reps):
-            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))  # drain
-            t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_small))
-            d1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            np.asarray(fwd_loop(params, shared, batch, vt, pt, k_large))
-            d2 = time.perf_counter() - t0
-            slopes.append((d2 - d1) / (k_large - k_small))
-        per = sorted(slopes)[len(slopes) // 2]  # median slope
+        per = _median_slope(
+            lambda k: np.asarray(fwd_loop(params, shared, batch, vt, pt, k)),
+            k_small, k_large, reps)
         results.append(BenchResult(
             batch_size=bs,
             qa_pairs_per_sec=bs / per,

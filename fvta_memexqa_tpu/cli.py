@@ -164,6 +164,13 @@ def cmd_ablate(argv):
 
     packed = load_pack(args.packdir)
     base = _config_from_args(args).replace(data=packed.cfg)
+    if args.use_pallas is None:
+        # same backend-based default as cmd_train (fused kernels win the
+        # train step on TPU; interpret mode on CPU is pathological)
+        import jax as _jax
+
+        base = base.replace(model=_dc.replace(
+            base.model, use_pallas=_jax.default_backend() == "tpu"))
     results = {}
     for variant in args.variants.split(","):
         cfg = base.replace(model=_dc.replace(base.model, attention=variant))
@@ -197,6 +204,13 @@ def cmd_test(argv):
     packed = load_pack(args.packdir)
     saved = load_config(os.path.join(args.rundir, "config.json"))
     cfg = _config_from_args(args, base=saved).replace(data=packed.cfg)
+    if args.use_pallas is None and cfg.model.use_pallas:
+        # The fused kernels ship the TRAIN step; inference ships XLA
+        # (BASELINE.md), and a TPU-trained run evaluated on CPU would hit
+        # interpret-mode Pallas. Evaluate with XLA unless explicitly asked.
+        import dataclasses as _dc
+
+        cfg = cfg.replace(model=_dc.replace(cfg.model, use_pallas=False))
     m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
              metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
              album_cache=not args.no_album_cache,
@@ -364,6 +378,7 @@ def cmd_video(argv):
         up, s = opt.update(g, s, p)
         return optax.apply_updates(p, up), s, l, aux["acc"]
 
+    loss = acc = 0.0
     for i in range(args.steps):
         params, opt_state, loss, acc = step(params, opt_state)
         if (i + 1) % 50 == 0:
@@ -423,6 +438,10 @@ def _video_from_pack(args):
 
     import jax.numpy as jnp
 
+    if train_ds.n == 0:
+        print("error: the pack's train split is empty (check --test-ids / "
+              "--val-fraction)", file=sys.stderr)
+        return 2
     first = next(iter(train_ds.get_batches(args.batch_size)))
     first = jax.tree.map(jnp.asarray, first)
     params = jax.jit(lambda k: model.init(k, shared, first, train=False))(

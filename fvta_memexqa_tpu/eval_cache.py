@@ -72,19 +72,27 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
     return jnp.concatenate(hs), jnp.concatenate(ms)
 
 
+def gather_cached_context(cache_h, cache_m, album_idx, album_mask):
+    """Per-question context states from the album cache: [R, 6, T, 2H]/[R, 6, T]
+    + ids [N, A] → (h_ctx [N, A*6, T, 2H], ctx_mask [N, A*6, T]). The single
+    definition of the cache gather/mask semantics — the bench measures this
+    exact function."""
+    n, a = album_idx.shape
+    h = cache_h[album_idx]                            # [N, A, 6, T, 2H]
+    m = cache_m[album_idx] & album_mask[:, :, None, None]
+    t = h.shape[3]
+    n_mod = h.shape[2]
+    return h.reshape(n, a * n_mod, t, -1), m.reshape(n, a * n_mod, t)
+
+
 def make_cached_eval_step(cfg: Config, model: FVTAModel):
     """Eval step consuming the album cache: gathers per-question context states."""
-    n_mod = len(MODALITIES)
 
     def eval_step(params, shared: SharedTables, cache_h, cache_m, batch: Batch,
                   vocab_table=None):
         mi = assemble(shared, batch)  # query-side fields; album fields unused below
-        n, a = batch.album_idx.shape
-        h = cache_h[batch.album_idx]                 # [N, A, 6, T, 2H]
-        m = cache_m[batch.album_idx] & batch.album_mask[:, :, None, None]
-        t = h.shape[3]
-        h_ctx = h.reshape(n, a * n_mod, t, -1)
-        ctx_mask = m.reshape(n, a * n_mod, t)
+        h_ctx, ctx_mask = gather_cached_context(cache_h, cache_m,
+                                                batch.album_idx, batch.album_mask)
         out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
                           vocab_table=vocab_table, method=model.answer)
         from fvta_memexqa_tpu.train import masked_choice_metrics
