@@ -67,7 +67,36 @@ class CheckpointManager:
         return self.mgr.latest_step()
 
     def best_step(self) -> int | None:
-        return self.best_mgr.best_step()
+        step, _ = self._best()
+        return step
+
+    def _best(self) -> tuple[int | None, Any]:
+        """(best step, manager holding it). Prefers the best/ directory; on a
+        miss, probes the legacy single-manager layout (pre-best-dir runs
+        recorded val metrics on the periodic saves in ckpts/) so old run dirs
+        restore their actual best-on-val state instead of silently falling
+        back to latest."""
+        s = self.best_mgr.best_step()
+        if s is not None:
+            return s, self.best_mgr
+        if self.mgr.latest_step() is None:
+            return None, None
+        try:
+            legacy = ocp.CheckpointManager(
+                os.path.join(self.directory, "ckpts"),
+                options=ocp.CheckpointManagerOptions(
+                    best_fn=lambda m: m["val_acc"],
+                    best_mode="max",
+                    read_only=True,
+                ),
+            )
+            try:
+                s = legacy.best_step()  # None unless some ckpts/ step has metrics
+            finally:
+                legacy.close()
+        except Exception:  # corrupt/foreign metadata: treat as no-best
+            s = None
+        return s, self.mgr
 
     def restore(self, abstract_state: Any, step: int | None = None, best: bool = False) -> Any:
         """Restore `step` (default: latest; best=True → best-on-val, reference
@@ -75,10 +104,13 @@ class CheckpointManager:
         when no validation metric was ever recorded (e.g. --val-fraction 0),
         instead of failing a run that has perfectly good checkpoints."""
         if step is None and best:
-            step = self.best_step()
-            if step is not None:
-                return self.best_mgr.restore(
-                    step, args=ocp.args.StandardRestore(abstract_state))
+            bstep, bmgr = self._best()
+            if bstep is not None:
+                return bmgr.restore(
+                    bstep, args=ocp.args.StandardRestore(abstract_state))
+            print(f"checkpoint: no best-on-val metric recorded in "
+                  f"{self.directory}; restoring the LATEST checkpoint instead",
+                  flush=True)
         if step is None:
             step = self.latest_step()
         if step is None:

@@ -298,6 +298,7 @@ def cmd_video_prepro(argv):
                       shard_size=args.shard_size,
                       val_fraction=args.val_fraction, seed=args.seed)
     print(json.dumps({"splits": meta["split_sizes"],
+                      "dropped": meta["dropped"],
                       "vocab": meta["data_config"]["word_vocab_size"],
                       "max_frames": meta["max_frames"]}))
 

@@ -92,6 +92,13 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
     rng = np.random.default_rng(seed)
     feat_dim = int(next(iter(frame_feats.values())).shape[-1])
 
+    # Dropped rows are COUNTED, not silent: a mismatched frame_feats.npz (or a
+    # corpus with a different choice count) must not shrink the dataset with
+    # split_sizes as the only clue — the counts ship in meta and the CLI prints
+    # them alongside split sizes.
+    no_feats = sum(1 for q in qas if q["video_id"] not in frame_feats)
+    bad_choices = sum(1 for q in qas if q["video_id"] in frame_feats
+                      and len(q["choices"]) != num_choices)
     qas = [q for q in qas if q["video_id"] in frame_feats
            and len(q["choices"]) == num_choices]
     test = [q for q in qas if q["qa_id"] in test_ids]
@@ -155,6 +162,8 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
         "word2idx": vocab.word2idx,
         "char2idx": vocab.char2idx,
         "split_sizes": split_sizes,
+        "dropped": {"missing_video_feats": no_feats,
+                    "wrong_choice_count": bad_choices},
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -136,7 +136,13 @@ class AlbumStore:
         self.evictions_unrecoverable = 0  # victim had no retained inputs
         self.reencodes = 0
         self._bytes = 0
-        self._dirty = False
+        # Dirty tracking is a monotonic generation counter, not a boolean: save()
+        # snapshots the store and writes OUTSIDE the lock, so an album ingested
+        # while the write is in flight must stay dirty. _gen bumps on every
+        # unsaved mutation; _saved_gen records the generation the last completed
+        # save captured. dirty <=> _gen != _saved_gen.
+        self._gen = 0
+        self._saved_gen = 0
         self._store: "OrderedDict[str, tuple[jnp.ndarray, jnp.ndarray]]" = OrderedDict()
         # Host-side packed inputs per ingested album (numpy, OUTSIDE the device
         # byte budget, bounded by max_retained_inputs with LRU eviction): an
@@ -180,7 +186,7 @@ class AlbumStore:
             self._store[album_id] = (h, m)
             self._bytes += self._entry_bytes(h, m)
             if mark_dirty:
-                self._dirty = True
+                self._gen += 1
             while (self.max_bytes is not None and self._bytes > self.max_bytes
                    and len(self._store) > 1):
                 # Prefer LRU victims that CAN be re-encoded on demand (retained
@@ -221,6 +227,11 @@ class AlbumStore:
             with self._lock:
                 if a in self._store:
                     self._store.move_to_end(a)
+                    if a in self._inputs:
+                        # input retention must track QUERY recency too, or the
+                        # hottest albums' inputs age out first and their eventual
+                        # device eviction becomes unrecoverable
+                        self._inputs.move_to_end(a)
                     entries.append(self._store[a])
                     continue
                 mi = self._inputs.get(a)
@@ -253,8 +264,9 @@ class AlbumStore:
         import orbax.checkpoint as ocp
 
         with self._lock:
-            if only_if_dirty and not self._dirty:
+            if only_if_dirty and self._gen == self._saved_gen:
                 return False
+            snap_gen = self._gen
             ids = list(self._store.keys())
             tree = {"h": [self._store[a][0] for a in ids],
                     "m": [self._store[a][1] for a in ids]}
@@ -265,9 +277,10 @@ class AlbumStore:
         with open(os.path.join(path, "album_ids.json"), "w") as f:
             json.dump(ids, f)
         with self._lock:
-            # cleared only AFTER a successful write — a failed save must leave
-            # the store dirty so the next periodic attempt retries
-            self._dirty = False
+            # advanced only AFTER a successful write, and only to the generation
+            # the snapshot captured — an ingest that raced the write bumped _gen
+            # past snap_gen and correctly stays dirty for the next save
+            self._saved_gen = max(self._saved_gen, snap_gen)
         return True
 
     def load(self, path: str) -> int:
@@ -276,18 +289,16 @@ class AlbumStore:
 
         with open(os.path.join(path, "album_ids.json")) as f:
             ids = json.load(f)
-        with self._lock:
-            was_empty = not self._store and not self._dirty
         ckptr = ocp.StandardCheckpointer()
         tree = ckptr.restore(os.path.abspath(path))
         ckptr.close()
+        # mark_dirty=False leaves _gen untouched: a store that was clean before
+        # the load stays clean (restored state == on-disk state), and one with
+        # unsaved entries stays dirty for the next periodic save.
         for a, h, m in zip(ids, tree["h"], tree["m"]):
             self._put(a, jnp.asarray(h), jnp.asarray(m.astype(bool)
                                                      if hasattr(m, "astype") else m),
                       mark_dirty=False)
-        if was_empty:
-            with self._lock:
-                self._dirty = False  # restored state == on-disk state exactly
         return len(ids)
 
     @property

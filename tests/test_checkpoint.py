@@ -100,6 +100,31 @@ class TestBestTracking:
         mgr.wait()
         assert sorted(mgr.mgr.all_steps()) == [4, 5]
 
+    def test_legacy_single_manager_layout_restores_actual_best(self, tmp_path,
+                                                               small_config):
+        """Run dirs from the pre-best-dir layout recorded val metrics on the
+        periodic saves in ckpts/; restore(best=True) must find THAT best, not
+        silently fall back to the latest checkpoint."""
+        import orbax.checkpoint as ocp
+
+        d = str(tmp_path / "legacy")
+        legacy = ocp.CheckpointManager(
+            os.path.join(d, "ckpts"),
+            options=ocp.CheckpointManagerOptions(
+                best_fn=lambda m: m["val_acc"], best_mode="max",
+                keep_checkpoints_without_metrics=True, create=True),
+        )
+        for s, acc in ((1, 0.2), (2, 0.8), (3, 0.4)):
+            legacy.save(s, args=ocp.args.StandardSave({"w": np.full(2, float(s))}),
+                        metrics={"val_acc": acc})
+        legacy.wait_until_finished()
+        legacy.close()
+
+        mgr = CheckpointManager(d, small_config)
+        assert mgr.best_step() == 2
+        restored = mgr.restore({"w": np.zeros(2)}, best=True)
+        np.testing.assert_array_equal(restored["w"], np.full(2, 2.0))
+
     def test_best_survives_latest_pruning(self, tmp_path, small_config):
         """The best-on-val checkpoint stays restorable even after the latest-N
         window has rolled past its step (the reference's best_model dir)."""

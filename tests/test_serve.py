@@ -517,6 +517,51 @@ class TestHardening:
         assert s2.save(path2, only_if_dirty=True) is True
         assert s2.save(path2, only_if_dirty=True) is False  # clean again
 
+    def test_ingest_racing_save_stays_dirty(self, served, small_config,
+                                            tmp_path, monkeypatch):
+        """An album ingested WHILE a save's write is in flight is excluded from
+        that save's snapshot — it must remain dirty so the next periodic save
+        persists it (lost-update race on the old boolean dirty flag)."""
+        model, params, shared, store, albums, feats = served
+        order = sorted(albums)
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab)
+        s2.ingest(albums[order[0]], feats)
+        import orbax.checkpoint as ocp
+
+        real_save = ocp.StandardCheckpointer.save
+
+        def racing_save(self_c, *a, **k):
+            # the snapshot is already taken; this ingest mutates the store
+            # mid-write and must survive as dirty
+            s2.ingest(albums[order[1]], feats)
+            return real_save(self_c, *a, **k)
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", racing_save)
+        assert s2.save(str(tmp_path / "r"), only_if_dirty=True) is True
+        monkeypatch.undo()
+        # order[1] was not in the written snapshot → store must still be dirty
+        assert s2.save(str(tmp_path / "r2"), only_if_dirty=True) is True
+        with open(os.path.join(str(tmp_path / "r2"), "album_ids.json")) as f:
+            import json as _json
+
+            assert set(_json.load(f)) == {order[0], order[1]}
+        assert s2.save(str(tmp_path / "r3"), only_if_dirty=True) is False
+
+    def test_query_refreshes_input_retention(self, served, small_config):
+        """A device-cache HIT must also refresh the retained-inputs LRU:
+        otherwise the hottest albums' inputs age out first and their eventual
+        device eviction becomes unrecoverable."""
+        model, params, shared, store, albums, feats = served
+        order = sorted(albums)
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        max_retained_inputs=2)
+        s2.ingest(albums[order[0]], feats)
+        s2.ingest(albums[order[1]], feats)
+        s2.get_stacked([order[0]])          # store hit → order[0] is hottest
+        s2.ingest(albums[order[2]], feats)  # inputs LRU evicts ONE entry
+        assert order[0] in s2._inputs       # refreshed by the query
+        assert order[1] not in s2._inputs   # the actual coldest aged out
+
     def test_timeout_raises_and_maps_to_503(self, served):
         import socket
         import time

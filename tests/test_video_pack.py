@@ -86,6 +86,21 @@ class TestVideoPack:
         assert vi.choice_words.shape == (4, 5, cfg.max_answer_len)
         assert vi.ex_mask.all()
 
+    def test_dropped_rows_counted(self, tmp_path):
+        """Rows dropped for missing frame feats or a mismatched choice count
+        must be COUNTED in meta — a bad frame_feats.npz must not shrink the
+        dataset silently."""
+        qas, feats, test_ids = make_synthetic_video_raw(
+            num_videos=12, num_frames=8, feat_dim=8, seed=1)
+        del feats["video0"], feats["video1"]          # 2 rows lose their video
+        qas[2]["choices"] = qas[2]["choices"][:3]     # 1 row wrong choice count
+        meta = pack_video(qas, feats, test_ids, None,
+                          str(tmp_path / "drop"), small_cfg(),
+                          max_frames=8, shard_size=4)
+        assert meta["dropped"] == {"missing_video_feats": 2,
+                                   "wrong_choice_count": 1}
+        assert sum(meta["split_sizes"].values()) == 9
+
     def test_streaming_covers_split(self, video_pack_dir):
         ds = VideoDataset(video_pack_dir, "train")
         seen = set()
