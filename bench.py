@@ -109,16 +109,37 @@ def main():
               file=sys.stderr)
 
     # ---- long-T video path (BASELINE config 4): XLA vs fused kernel ----------
-    from fvta_memexqa_tpu.bench_lib import bench_video
+    # Round-2 verdict #1: the recorded t1024 number was 11x reality because the
+    # slope signal sat under the tunnel noise floor. bench_video now calibrates
+    # K against the noise floor and self-rejects measurements whose implied MFU
+    # (XLA cost model / chip peak) is physically implausible; a null field is
+    # recorded rather than a wrong number.
+    from fvta_memexqa_tpu.bench_lib import bench_video, video_step_cost
 
+    peak_flops = peaks[0] if peaks is not None else None
     video = {}
     for t_frames in (1024, 4096):
+        vcost = video_step_cost(t_frames)["flops"] if peak_flops else None
         for pallas in (False, True):
             if pallas and platform != "tpu":
                 continue
             key = f"video_fps_t{t_frames}_{'pallas' if pallas else 'xla'}"
-            video[key] = round(bench_video(t_frames, use_pallas=pallas), 1)
-            print(f"{key}: {video[key]:.0f} frames/s", file=sys.stderr)
+            fps = bench_video(t_frames, use_pallas=pallas,
+                              flops_per_step=vcost, peak_flops=peak_flops)
+            video[key] = round(fps, 1) if fps is not None else None
+            print(f"{key}: {video[key]} frames/s", file=sys.stderr)
+    # Cross-T consistency: per-frame throughput at T=1024 vs T=4096 must agree
+    # within a modest factor (same per-frame math; utilization shifts only
+    # moderately with T). A >4x divergence means one reading is garbage — the
+    # observed failure mode is an overcount, so null the LARGER reading.
+    for backend in ("xla", "pallas"):
+        keys = [f"video_fps_t{t}_{backend}" for t in (1024, 4096)]
+        pair = [video.get(k) for k in keys]
+        if all(v is not None for v in pair) and max(pair) > 4.0 * min(pair):
+            bad = keys[0] if pair[0] > pair[1] else keys[1]
+            print(f"video bench: {keys[0]}={pair[0]} vs {keys[1]}={pair[1]} "
+                  f"diverge >4x; nulling {bad}", file=sys.stderr)
+            video[bad] = None
 
     for r in results:
         print(

@@ -499,16 +499,23 @@ def cmd_synth(argv):
     p.add_argument("--num-questions", type=int, default=24)
     p.add_argument("--feat-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--focal", action="store_true",
+                   help="emit the focality-discriminating corpus (answers "
+                        "hidden at single photo positions behind decoy-"
+                        "saturated album text) instead of the derivable one")
     args = p.parse_args(argv)
-    from fvta_memexqa_tpu.data.synthetic import make_synthetic, write_raw_files
+    from fvta_memexqa_tpu.data.synthetic import (make_focal_synthetic,
+                                                 make_synthetic,
+                                                 write_raw_files)
 
-    out = make_synthetic(num_albums=args.num_albums,
-                         photos_per_album=args.photos_per_album,
-                         num_questions=args.num_questions,
-                         feat_dim=args.feat_dim, seed=args.seed)
+    gen = make_focal_synthetic if args.focal else make_synthetic
+    out = gen(num_albums=args.num_albums,
+              photos_per_album=args.photos_per_album,
+              num_questions=args.num_questions,
+              feat_dim=args.feat_dim, seed=args.seed)
     write_raw_files(args.outdir, *out)
     print(json.dumps({"outdir": args.outdir, "questions": args.num_questions,
-                      "albums": args.num_albums}))
+                      "albums": args.num_albums, "focal": args.focal}))
 
 
 COMMANDS = {

@@ -123,6 +123,146 @@ def make_synthetic(
     return qas, albums, photo_feats, test_ids, glove
 
 
+def make_focal_synthetic(
+    num_albums: int = 24,
+    photos_per_album: int = 8,
+    num_questions: int = 96,
+    feat_dim: int = 64,
+    glove_dim: int = 100,
+    seed: int = 0,
+    test_fraction: float = 0.25,
+    decoy_repeats: int = 12,
+):
+    """Corpus on which hierarchical focality is REQUIRED, not optional.
+
+    The derivable corpus above is template-solvable by flat attention (measured:
+    flat 0.84 > fvta 0.79 at scale — BASELINE.md), so it cannot demonstrate the
+    mechanism FVTA exists for (SURVEY.md "What the reference is" item 3; the
+    paper's ablation is its only correctness evidence). This generator builds
+    the discriminating case:
+
+    - "what did we photograph" questions hide the answer object in the features
+      of ONE photo (a single time position of the photo modality; every other
+      photo is pure noise). The answer word appears in NO text field.
+    - The album description and every photo title are SATURATED with a decoy
+      object — one of the 4 choices — co-occurring with the question's own
+      words ("we photograph the zebra ..." repeated). Those ~P + T_text decoy
+      positions each correlate strongly with the question.
+    - Flat attention normalizes over all (s, t) jointly, so suppressing K
+      high-scoring decoy positions against 1 evidence position needs a log-K
+      similarity gap, re-learned against text features that OTHER question
+      kinds need. Focal attention weights each SEQUENCE by its MAX score
+      (ops/fvta_ref.py step 4), so the decoy text's sequence weight is
+      independent of how many positions it saturates — an O(1) gap suffices.
+    - "where"/"what year" questions keep their answers in the where/when text
+      modalities (no decoys), so the model cannot suppress text wholesale;
+      the decoy object is itself the ANSWER object of other albums, so its
+      feature direction cannot be suppressed either.
+
+    The ablation ordering (fvta > flat by a wide margin here; flat >= fvta on
+    the derivable corpus) is gated by tests/test_ablate_focal.py.
+    """
+    rng = np.random.default_rng(seed)
+    albums: dict[str, Album] = {}
+    photo_feats: dict[str, np.ndarray] = {}
+    obj_dirs = {o: rng.normal(0, 1, feat_dim).astype(np.float32) for o in _OBJECTS}
+
+    album_meta = []
+    for i in range(num_albums):
+        name = _NAMES[i % len(_NAMES)]
+        city = _CITIES[i % len(_CITIES)]
+        year = _YEARS[i % len(_YEARS)]
+        month = _MONTHS[i % len(_MONTHS)]
+        obj = _OBJECTS[i % len(_OBJECTS)]
+        decoy = _OBJECTS[(i + 1 + int(rng.integers(len(_OBJECTS) - 1)))
+                         % len(_OBJECTS)]
+        if decoy == obj:  # adjacent pick collided after wrap
+            decoy = _OBJECTS[(i + 1) % len(_OBJECTS)]
+        evidence_pos = int(rng.integers(photos_per_album))
+        pids = [f"p{i}_{p}" for p in range(photos_per_album)]
+        for p, pid in enumerate(pids):
+            f = 0.3 * rng.normal(0, 1, feat_dim).astype(np.float32)
+            if p == evidence_pos:
+                f = f + obj_dirs[obj]
+            photo_feats[pid] = (f / np.linalg.norm(f)).astype(np.float32)
+        aid = f"album{i}"
+        albums[aid] = Album(
+            album_id=aid,
+            title=f"the {name} trip",
+            description=" ".join(["we photograph the", decoy] * decoy_repeats),
+            where=city,
+            when=f"{month} {year}",
+            photo_ids=tuple(pids),
+            photo_titles=tuple(f"photograph of the {decoy}"
+                               for _ in range(photos_per_album)),
+            photo_gps=tuple((float(10 + i), float(20 + p))
+                            for p in range(photos_per_album)),
+        )
+        album_meta.append((aid, name, city, year, obj, decoy))
+
+    qas: list[QAPair] = []
+    for qi in range(num_questions):
+        aid, name, city, year, obj, decoy = album_meta[qi % num_albums]
+        r = np.random.default_rng(seed * 7919 + qi)
+        # 0-1: focal "what" (the discriminator, 40%); 2: "what did the album
+        # say" — the DECOY text is the answer channel, so decoy modalities
+        # cannot be suppressed wholesale and any gating must be question-
+        # conditioned (that's what makes the focal kind hard for flat);
+        # 3: where; 4: year.
+        kind = qi % 5
+        if kind <= 1:
+            question = f"what did we photograph on the {name} trip ?"
+            answer = obj
+            others = [o for o in _OBJECTS if o not in (obj, decoy)]
+            picks = r.choice(len(others), size=2, replace=False)
+            choices = [answer, decoy] + [others[int(j)] for j in picks]
+        elif kind == 2:
+            question = f"what did the album say we photograph on the {name} trip ?"
+            answer = decoy
+            others = [o for o in _OBJECTS if o not in (obj, decoy)]
+            picks = r.choice(len(others), size=2, replace=False)
+            choices = [answer, obj] + [others[int(j)] for j in picks]
+        elif kind == 3:
+            question = f"where did we go on the {name} trip ?"
+            answer = city
+            others = [x for x in _CITIES if x != city]
+            picks = r.choice(len(others), size=3, replace=False)
+            choices = [answer] + [others[int(j)] for j in picks]
+        else:
+            question = f"what year was the {name} trip ?"
+            answer = year
+            others = [x for x in _YEARS if x != year]
+            picks = r.choice(len(others), size=3, replace=False)
+            choices = [answer] + [others[int(j)] for j in picks]
+        order = r.permutation(4)
+        qas.append(QAPair(
+            question_id=f"q{qi}",
+            question=question,
+            answer=answer,
+            choices=tuple(choices[int(j)] for j in order),
+            album_ids=(aid,),
+            flickr_user_id="synthuser",
+        ))
+
+    n_test = int(round(num_questions * test_fraction))
+    test_ids = {f"q{qi}" for qi in range(num_questions - n_test, num_questions)}
+
+    all_words = sorted(
+        {w for a in albums.values()
+         for w in (a.title + " " + a.description).split()}
+        | set(_CITIES) | set(_YEARS) | set(_MONTHS) | set(_OBJECTS) | set(_NAMES)
+        | {"where", "did", "we", "go", "on", "the", "trip", "what", "year",
+           "was", "photograph", "of", "a"}
+    )
+    grng = np.random.default_rng(seed + 1)
+    glove = {
+        w: grng.normal(0, 0.5, glove_dim).astype(np.float32)
+        for i, w in enumerate(all_words)
+        if i % 10 < 7
+    }
+    return qas, albums, photo_feats, test_ids, glove
+
+
 def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove):
     """Serialize to the raw on-disk format of the dataset release, so the synthetic
     data can drive the real CLI path (prepro reads these exact files)."""
