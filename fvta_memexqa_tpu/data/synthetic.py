@@ -155,9 +155,16 @@ def make_focal_synthetic(
       (ops/fvta_ref.py step 4), so the decoy text's sequence weight is
       independent of how many positions it saturates — an O(1) gap suffices.
     - "where"/"what year" questions keep their answers in the where/when text
-      modalities (no decoys), so the model cannot suppress text wholesale;
-      the decoy object is itself the ANSWER object of other albums, so its
-      feature direction cannot be suppressed either.
+      modalities (no decoys), and "what did the album say" questions are
+      answered BY the decoy text — so neither the text modalities nor the
+      decoy content can be suppressed wholesale; any gating must be
+      question-conditioned.
+    - The test split holds out whole ALBUMS (not just questions): album
+      identity is visible in the text modalities, so a same-album split lets
+      ANY variant memorize album→object from text and ace the focal questions
+      without ever reading a photo (measured). Unseen-album questions force
+      the model to localize the known object DIRECTIONS (shared across
+      albums) at the evidence position.
 
     The ablation ordering (fvta > flat by a wide margin here; flat >= fvta on
     the derivable corpus) is gated by tests/test_ablate_focal.py.
@@ -244,8 +251,10 @@ def make_focal_synthetic(
             flickr_user_id="synthuser",
         ))
 
-    n_test = int(round(num_questions * test_fraction))
-    test_ids = {f"q{qi}" for qi in range(num_questions - n_test, num_questions)}
+    n_test_albums = max(1, int(round(num_albums * test_fraction)))
+    test_albums = {f"album{i}" for i in
+                   range(num_albums - n_test_albums, num_albums)}
+    test_ids = {q.question_id for q in qas if q.album_ids[0] in test_albums}
 
     all_words = sorted(
         {w for a in albums.values()
