@@ -72,6 +72,9 @@ def cmd_prepro(argv):
     p.add_argument("photo_npz")
     p.add_argument("outdir")
     p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--val-ids", default=None,
+                   help="explicit val question-id file (e.g. an album-level "
+                        "holdout); overrides --val-fraction carving")
     p.add_argument("--seed", type=int, default=0)
     _add_dataclass_flags(p, DataConfig)
     args = p.parse_args(argv)
@@ -85,10 +88,14 @@ def cmd_prepro(argv):
         print(f"prepro warning: {e}", file=sys.stderr)
     with open(args.test_ids) as f:
         test_ids = {line.strip() for line in f if line.strip()}
+    val_ids = None
+    if args.val_ids:
+        with open(args.val_ids) as f:
+            val_ids = {line.strip() for line in f if line.strip()}
     glove = None if args.glove == "none" else load_glove(args.glove, cfg.word_emb_dim)
     feats = dict(np.load(args.photo_npz))
     meta = pack(qas, albums, feats, test_ids, glove, args.outdir, cfg,
-                val_fraction=args.val_fraction, seed=args.seed)
+                val_fraction=args.val_fraction, seed=args.seed, val_ids=val_ids)
     print(json.dumps({"splits": meta["split_sizes"], "num_albums": meta["num_albums"],
                       "num_photos": meta["num_photos"],
                       "vocab": meta["data_config"]["word_vocab_size"]}))

@@ -163,11 +163,19 @@ def _album_text(album: Album, field: str) -> str:
 
 
 def split_qas(
-    qas: list[QAPair], test_ids: set[str], val_fraction: float, seed: int
+    qas: list[QAPair], test_ids: set[str], val_fraction: float, seed: int,
+    val_ids: set[str] | None = None,
 ) -> dict[str, list[QAPair]]:
-    """test by official id file; val carved deterministically from the remainder."""
+    """test by official id file; val by explicit id set when given (e.g. an
+    album-level holdout, so best-on-val tracks unseen-album generalization —
+    the focal corpus needs this), else carved deterministically at random from
+    the remainder (the reference's behavior, SURVEY.md L1 ⚠)."""
     test = [q for q in qas if q.question_id in test_ids]
     rest = [q for q in qas if q.question_id not in test_ids]
+    if val_ids is not None:
+        val = [q for q in rest if q.question_id in val_ids]
+        train = [q for q in rest if q.question_id not in val_ids]
+        return {"train": train, "val": val, "test": test}
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(rest))
     n_val = int(round(len(rest) * val_fraction))
@@ -204,10 +212,11 @@ def pack(
     cfg: DataConfig,
     val_fraction: float = 0.1,
     seed: int = 0,
+    val_ids: set[str] | None = None,
 ) -> dict:
     """Run the full pack; writes npz shards + meta.json to out_dir, returns meta."""
     os.makedirs(out_dir, exist_ok=True)
-    splits = split_qas(qas, test_ids, val_fraction, seed)
+    splits = split_qas(qas, test_ids, val_fraction, seed, val_ids=val_ids)
     vocab = Vocab.build(
         _train_token_stream(splits["train"], albums), glove, cfg.word_emb_dim, seed=seed
     )

@@ -251,10 +251,20 @@ def make_focal_synthetic(
             flickr_user_id="synthuser",
         ))
 
+    # BOTH test and val hold out whole albums: best-on-val checkpoint selection
+    # must track unseen-album generalization, or long training overfits
+    # album→object memorization and keep-best happily keeps it (measured: at
+    # 120 epochs a question-level val stayed at 0.83 while unseen-album test
+    # collapsed to ~0.48 for both variants).
     n_test_albums = max(1, int(round(num_albums * test_fraction)))
+    n_val_albums = max(1, int(round(num_albums * 0.125)))
     test_albums = {f"album{i}" for i in
                    range(num_albums - n_test_albums, num_albums)}
+    val_albums = {f"album{i}" for i in
+                  range(num_albums - n_test_albums - n_val_albums,
+                        num_albums - n_test_albums)}
     test_ids = {q.question_id for q in qas if q.album_ids[0] in test_albums}
+    val_ids = {q.question_id for q in qas if q.album_ids[0] in val_albums}
 
     all_words = sorted(
         {w for a in albums.values()
@@ -269,10 +279,11 @@ def make_focal_synthetic(
         for i, w in enumerate(all_words)
         if i % 10 < 7
     }
-    return qas, albums, photo_feats, test_ids, glove
+    return qas, albums, photo_feats, test_ids, glove, val_ids
 
 
-def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove):
+def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove,
+                    val_ids=None):
     """Serialize to the raw on-disk format of the dataset release, so the synthetic
     data can drive the real CLI path (prepro reads these exact files)."""
     os.makedirs(outdir, exist_ok=True)
@@ -310,6 +321,11 @@ def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove):
         )
     with open(os.path.join(outdir, "test_question.ids"), "w") as f:
         f.write("\n".join(sorted(test_ids)))
+    if val_ids:
+        # explicit val split (album-level holdout for the focal corpus);
+        # prepro consumes it via --val-ids
+        with open(os.path.join(outdir, "val_question.ids"), "w") as f:
+            f.write("\n".join(sorted(val_ids)))
     np.savez(os.path.join(outdir, "photo_feats.npz"), **photo_feats)
     with open(os.path.join(outdir, "glove.txt"), "w") as f:
         for w, v in glove.items():

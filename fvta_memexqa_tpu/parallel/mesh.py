@@ -34,11 +34,21 @@ def maybe_initialize_distributed() -> bool:
     Returns True if distributed mode was initialized."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    if os.environ.get("JAX_NUM_PROCESSES") and os.environ.get("JAX_PROCESS_ID"):
+        # explicit topology (e.g. a hand-launched coordinator+worker pair, the
+        # real-2-process test): initialize() cannot infer these outside a
+        # managed cluster (SLURM/GKE), so pass them through
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()  # managed-cluster autodetection
+    return True
 
 
 def make_mesh(cfg: MeshConfig, devices: list | None = None) -> Mesh:

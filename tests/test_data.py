@@ -114,6 +114,49 @@ class TestPack:
         assert not (qids[0] & qids[1]) and not (qids[0] & qids[2]) and not (qids[1] & qids[2])
         assert sum(len(q) for q in qids) == 24
 
+    def test_explicit_val_ids_override_carving(self):
+        """pack --val-ids: an explicit id set (album-level holdout for the
+        focal corpus) becomes the val split verbatim; no random carving."""
+        from fvta_memexqa_tpu.data.pack import split_qas
+
+        qas, *_ = make_synthetic(seed=0)
+        test_ids = {"q20", "q21"}
+        val_ids = {"q0", "q5", "q19"}
+        s = split_qas(qas, test_ids, val_fraction=0.5, seed=0, val_ids=val_ids)
+        assert {q.question_id for q in s["val"]} == val_ids
+        assert {q.question_id for q in s["test"]} == test_ids
+        assert len(s["train"]) == len(qas) - len(val_ids) - len(test_ids)
+
+    def test_focal_generator_schema_and_holdout(self, tmp_path):
+        """make_focal_synthetic: raw-schema-valid, decoy present in choices of
+        every focal question, evidence object absent from all album text, and
+        the test/val splits hold out whole albums."""
+        from fvta_memexqa_tpu.data.synthetic import (make_focal_synthetic,
+                                                     write_raw_files)
+
+        qas, albums, feats, test_ids, glove, val_ids = make_focal_synthetic(
+            num_albums=8, photos_per_album=4, num_questions=40, seed=1)
+        by_album: dict[str, set[str]] = {}
+        for q in qas:
+            split = ("test" if q.question_id in test_ids else
+                     "val" if q.question_id in val_ids else "train")
+            by_album.setdefault(q.album_ids[0], set()).add(split)
+        for aid, splits in by_album.items():
+            assert len(splits) == 1, f"{aid} leaks across splits: {splits}"
+        for qi, q in enumerate(qas):
+            album = albums[q.album_ids[0]]
+            text = " ".join([album.title, album.description, album.where,
+                             album.when, *album.photo_titles])
+            if qi % 5 <= 1:  # focal kind: answer only in photo FEATURES
+                assert q.answer not in text.split()
+                assert any(c in album.description.split() for c in q.choices
+                           if c != q.answer)  # the decoy trap is in play
+        out = str(tmp_path / "focal_raw")
+        write_raw_files(out, qas, albums, feats, test_ids, glove, val_ids)
+        import os as _os
+
+        assert _os.path.exists(_os.path.join(out, "val_question.ids"))
+
     def test_deterministic(self, tmp_path):
         from fvta_memexqa_tpu.data import load_pack, pack
         from tests.conftest import small_data_config
