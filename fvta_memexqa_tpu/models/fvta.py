@@ -47,12 +47,21 @@ class BiLSTM(nn.Module):
     state: the fused path then runs the no-output-writes kernel
     (ops/lstm_fused.bilstm_fused_final) and returns (None, fin). in_dim is the
     static input feature width (params are created in setup so sibling encoders
-    can be batched into one grouped kernel launch via .pair())."""
+    can be batched into one grouped kernel launch via .pair()).
+
+    dtype="bfloat16" selects the bf16-ACTIVATION variant (ModelConfig.dtype):
+    the scan's x-projection, carried state, and transcendentals run in bf16
+    (f32 matmul accumulation — ops/lstm_ref.lstm_scan_ref), outputs cast back
+    to f32 at this module boundary so attention/scorer numerics are untouched.
+    It routes through the XLA scan even under use_pallas: the fused kernels
+    pin f32 state for golden bit-parity, and bf16 explicitly trades that
+    parity for speed (BASELINE.md "bf16 activation variant")."""
 
     in_dim: int
     hidden_dim: int
     forget_bias: float = 1.0
     use_pallas: bool = False
+    dtype: str = "float32"
 
     def setup(self):
         self.p_fw = self.param(
@@ -65,6 +74,11 @@ class BiLSTM(nn.Module):
         return self.p_fw, self.p_bw
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, fin_only: bool = False):
+        if self.dtype == "bfloat16":
+            out, fin = bilstm_ref(self.p_fw, self.p_bw, x, mask,
+                                  self.forget_bias, dtype=jnp.bfloat16)
+            fin = fin.astype(jnp.float32)
+            return (None, fin) if fin_only else (out.astype(jnp.float32), fin)
         if self.use_pallas:
             from fvta_memexqa_tpu.ops.lstm_fused import bilstm_fused, bilstm_fused_final
 
@@ -94,7 +108,8 @@ class FVTAModel(nn.Module):
         self.highway = Highway(num_layers=2)
         self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
         self.photo_proj = nn.Dense(d.word_emb_dim + m.char_cnn_filters, name="photo_proj")
-        kw = dict(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias, use_pallas=m.use_pallas)
+        kw = dict(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias,
+                  use_pallas=m.use_pallas, dtype=m.dtype)
         demb = d.word_emb_dim + m.char_cnn_filters
         self.enc_word = BiLSTM(name="enc_word", in_dim=demb, **kw)
         # photo/photo_title/album-text time encoders; photo_title consumes the

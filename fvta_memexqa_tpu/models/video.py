@@ -53,22 +53,32 @@ class VideoOutput(NamedTuple):
 
 class DilatedConvEncoder(nn.Module):
     """Parallel-over-T temporal encoder: stacked dilated convs with residuals.
-    Receptive field grows exponentially; output dim 2H to match the bi-LSTM."""
+    Receptive field grows exponentially; output dim 2H to match the bi-LSTM.
+
+    dtype="bfloat16" runs the conv stack (the long-T bandwidth hot spot:
+    activations are [N, T, 2H] per layer) with bf16 activations — flax's
+    computation dtype, params stay f32 — and casts back to f32 at the module
+    boundary. The mean-pooled summary accumulates in f32 either way."""
 
     hidden_dim: int
     num_layers: int = 4
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
         h2 = 2 * self.hidden_dim
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = x.astype(cdt)
         m = mask[..., None].astype(x.dtype)
-        x = nn.Dense(h2, name="in_proj")(x) * m
+        x = nn.Dense(h2, name="in_proj", dtype=cdt)(x) * m
         for li in range(self.num_layers):
             y = nn.Conv(h2, kernel_size=(3,), kernel_dilation=(2 ** li),
-                        padding="SAME", name=f"conv{li}")(x * m)
+                        padding="SAME", name=f"conv{li}", dtype=cdt)(x * m)
             x = x + nn.gelu(y) * m
-        fin = jnp.sum(x * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-        return x * m, fin
+        xf = (x * m).astype(jnp.float32)
+        fin = jnp.sum(xf, axis=1) / jnp.maximum(
+            m.astype(jnp.float32).sum(axis=1), 1.0)
+        return xf, fin
 
 
 class VideoFVTAModel(nn.Module):
@@ -91,14 +101,17 @@ class VideoFVTAModel(nn.Module):
         self.dropout = nn.Dropout(rate=1.0 - m.keep_prob)
         demb = d.word_emb_dim + m.char_cnn_filters
         self.enc_word = BiLSTM(hidden_dim=m.hidden_dim, forget_bias=m.forget_bias,
-                               use_pallas=m.use_pallas, in_dim=demb, name="enc_word")
+                               use_pallas=m.use_pallas, in_dim=demb,
+                               dtype=m.dtype, name="enc_word")
         if self.temporal_encoder == "bilstm":
             self.frame_proj = nn.Dense(demb, name="frame_proj")
             self.enc_frames = BiLSTM(hidden_dim=m.hidden_dim,
                                      forget_bias=m.forget_bias, in_dim=demb,
-                                     use_pallas=m.use_pallas, name="enc_frames")
+                                     use_pallas=m.use_pallas, dtype=m.dtype,
+                                     name="enc_frames")
         else:
             self.enc_frames = DilatedConvEncoder(hidden_dim=m.hidden_dim,
+                                                 dtype=m.dtype,
                                                  name="enc_frames")
         if m.similarity == "trilinear":
             h2 = 2 * m.hidden_dim

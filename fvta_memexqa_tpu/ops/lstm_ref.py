@@ -63,17 +63,32 @@ def lstm_scan_ref(
     x: jnp.ndarray,      # [N, T, D]
     mask: jnp.ndarray,   # bool [N, T]
     forget_bias: float = 1.0,
+    dtype: jnp.dtype | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Unidirectional scan. Returns (outputs [N, T, H], final_h [N, H])."""
+    """Unidirectional scan. Returns (outputs [N, T, H], final_h [N, H]).
+
+    dtype: optional ACTIVATION compute dtype (the bf16 variant,
+    ModelConfig.dtype). Params, the hoisted x-projection, the carried (h, c)
+    state, and the outputs are cast to it — halving the scan's HBM traffic
+    and running the VPU transcendentals at bf16 — while both matmuls keep
+    f32 accumulation (preferred_element_type) and the gate pre-activations
+    are formed in f32 before casting back. None = x.dtype (fp32 parity path;
+    the TF1 golden fixtures pin that one)."""
     n, t, _ = x.shape
     hdim = params.wh.shape[0]
+    if dtype is not None:
+        params = LSTMParams(*(p.astype(dtype) for p in params))
+        x = x.astype(dtype)
     x_proj = jnp.dot(x, params.wx, preferred_element_type=jnp.float32) + params.b
+    x_proj = x_proj.astype(x.dtype)
     m = mask.astype(x_proj.dtype)[..., None]  # [N, T, 1]
+    cdt = x_proj.dtype
 
     def step(carry, inp):
         h, c = carry
         xp_t, m_t = inp
         nh, nc = lstm_cell(xp_t, h, c, params.wh, forget_bias)
+        nh, nc = nh.astype(cdt), nc.astype(cdt)
         h = m_t * nh + (1.0 - m_t) * h
         c = m_t * nc + (1.0 - m_t) * c
         return (h, c), m_t * nh  # output is zero at padded steps (dynamic_rnn)
@@ -104,15 +119,19 @@ def bilstm_ref(
     x: jnp.ndarray,      # [N, T, D]
     mask: jnp.ndarray,   # bool [N, T]
     forget_bias: float = 1.0,
+    dtype: jnp.dtype | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional encode. Returns (outputs [N, T, 2H], final_state [N, 2H]).
 
     final_state = [fw final h; bw final h], i.e. TF1's (output_state_fw, output_state_bw).h
     concatenated — the summary vector the reference uses for questions/choices.
+    dtype: activation compute dtype (see lstm_scan_ref); outputs are returned
+    in it — the caller (models.fvta.BiLSTM) casts back to f32 at the module
+    boundary so attention/scorer numerics stay fp32.
     """
     lengths = mask.sum(axis=1).astype(jnp.int32)
-    out_fw, h_fw = lstm_scan_ref(params_fw, x, mask, forget_bias)
+    out_fw, h_fw = lstm_scan_ref(params_fw, x, mask, forget_bias, dtype)
     x_rev = _flip_to_front(x, lengths)
-    out_bw_rev, h_bw = lstm_scan_ref(params_bw, x_rev, mask, forget_bias)
+    out_bw_rev, h_bw = lstm_scan_ref(params_bw, x_rev, mask, forget_bias, dtype)
     out_bw = _flip_to_front(out_bw_rev, lengths)
     return jnp.concatenate([out_fw, out_bw], axis=-1), jnp.concatenate([h_fw, h_bw], axis=-1)

@@ -1,0 +1,125 @@
+"""bf16-activation variant (ModelConfig.dtype, round-2 verdict missing #5).
+
+The fp32 path is pinned bit-exactly by golden fixtures; bf16 deliberately
+trades that parity for speed, so its gate is ACCURACY, not bits:
+
+1. kernel-level: the bf16 scan tracks the f32 scan within bf16 rounding noise
+   accumulated over the sequence (asserted, loose tolerance);
+2. model-level: training the synthetic mini-corpus end to end in bf16 must
+   still overfit to 100% train accuracy — the same wiring check the fp32
+   path passes (tests/test_train_e2e.py), i.e. accuracy within noise;
+3. the golden-fixture forward DELTA under bf16 is measured and REPORTED
+   (printed), not asserted — the number that documents what the variant
+   costs numerically (BASELINE.md records the measured value).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvta_memexqa_tpu.config import Config, ModelConfig, TrainConfig
+from fvta_memexqa_tpu.ops.lstm_ref import LSTMParams, bilstm_ref, init_lstm_params
+
+
+class TestBf16Scan:
+    def test_bf16_scan_tracks_f32(self, rng):
+        n, t, d, h = 4, 12, 10, 8
+        x = jnp.asarray(rng.normal(0, 1, (n, t, d)).astype(np.float32))
+        lens = rng.integers(1, t + 1, n)
+        lens[0] = t
+        mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+        p_fw = init_lstm_params(jax.random.key(0), d, h)
+        p_bw = init_lstm_params(jax.random.key(1), d, h)
+        out32, fin32 = bilstm_ref(p_fw, p_bw, x, mask)
+        out16, fin16 = bilstm_ref(p_fw, p_bw, x, mask, dtype=jnp.bfloat16)
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out16, np.float32),
+                                   np.asarray(out32), atol=0.06, rtol=0)
+        np.testing.assert_allclose(np.asarray(fin16, np.float32),
+                                   np.asarray(fin32), atol=0.06, rtol=0)
+        # non-vacuous: the two paths must actually differ (bf16 really ran)
+        assert np.abs(np.asarray(out16, np.float32)
+                      - np.asarray(out32)).max() > 0
+
+    def test_masked_tail_still_zero(self, rng):
+        n, t, d, h = 3, 8, 6, 5
+        x = jnp.asarray(rng.normal(0, 1, (n, t, d)).astype(np.float32))
+        mask = jnp.asarray(np.arange(t)[None, :] < np.array([[3], [8], [1]]))
+        p = init_lstm_params(jax.random.key(2), d, h)
+        out, _ = bilstm_ref(p, p, x, mask, dtype=jnp.bfloat16)
+        out = np.asarray(out, np.float32)
+        assert not out[0, 3:].any() and not out[2, 1:].any()
+
+
+class TestBf16Model:
+    def test_bf16_overfits_like_f32(self, packed_synth, tmp_path):
+        """Accuracy-regression gate: the bf16-activation model must pass the
+        same overfit-to-100% wiring check as fp32 (SURVEY.md section 4 item 3);
+        a precision variant that can't fit 24 derivable questions is broken."""
+        from fvta_memexqa_tpu.data import Dataset
+        from fvta_memexqa_tpu.train import evaluate, make_eval_step, train as run_train
+
+        cfg = Config().replace(
+            data=packed_synth.cfg,
+            model=ModelConfig(hidden_dim=16, char_emb_dim=8, char_cnn_filters=16,
+                              keep_prob=1.0, dtype="bfloat16"),
+            train=TrainConfig(batch_size=8, eval_batch_size=8, learning_rate=2e-3,
+                              num_epochs=60, val_period=50, save_period=100,
+                              log_period=50, seed=0),
+        )
+        res = run_train(cfg, packed_synth, str(tmp_path / "bf16run"), echo=False)
+        eval_step = make_eval_step(cfg, res["model"])
+        m = evaluate(eval_step, res["state"].params, res["shared"],
+                     Dataset(packed_synth, "train"), 8)
+        assert m["acc"] == 1.0, f"bf16 failed the fp32 wiring gate: {m['acc']}"
+
+    def test_golden_forward_delta_reported(self, packed_synth, small_config):
+        """Measure (and print — not assert) the logits delta the bf16 encoders
+        introduce vs the golden fp32 forward, plus prediction agreement."""
+        import dataclasses
+
+        from fvta_memexqa_tpu.data import Dataset, SharedTables, assemble
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.models import FVTAModel
+
+        g = np.load("tests/golden/model_forward.npz")
+        shared = SharedTables.from_packed(packed_synth.shared)
+        batch = device_put_batch(next(iter(
+            Dataset(packed_synth, "train").get_batches(4))))
+        mi = assemble(shared, batch)
+        cfg16 = small_config.replace(
+            model=dataclasses.replace(small_config.model, dtype="bfloat16"))
+        model = FVTAModel(cfg=cfg16)
+        params = model.init(jax.random.key(0), shared, mi, train=False)
+        lg = np.asarray(model.apply(params, shared, mi, train=False).logits)
+        delta = np.abs(lg - g["logits"]).max()
+        agree = float((lg.argmax(-1) == g["logits"].argmax(-1)).mean())
+        print(f"\nbf16 vs golden fp32 forward: max |logit delta| = {delta:.4f}, "
+              f"argmax agreement = {agree:.2f}")
+        assert np.isfinite(lg).all()
+        assert delta > 0  # non-vacuous: bf16 actually engaged
+
+
+class TestBf16Video:
+    def test_video_conv_encoder_bf16_close(self):
+        import dataclasses
+
+        from fvta_memexqa_tpu.bench_lib import realistic_config, synth_shared
+        from fvta_memexqa_tpu.models.video import VideoFVTAModel, make_synthetic_video
+
+        cfg = realistic_config()
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, image_feat_dim=64,
+                                                   word_vocab_size=600,
+                                                   num_glove_words=500,
+                                                   char_vocab_size=30))
+        shared = synth_shared(cfg, num_albums=2, num_photos=2, seed=0)
+        vi, _ = make_synthetic_video(cfg, num_videos=2, num_frames=32, seed=0)
+        cfg16 = cfg.replace(model=dataclasses.replace(cfg.model, dtype="bfloat16"))
+        m32, m16 = VideoFVTAModel(cfg=cfg), VideoFVTAModel(cfg=cfg16)
+        params = m32.init(jax.random.key(0), shared, vi, train=False)
+        lg32 = np.asarray(m32.apply(params, shared, vi, train=False).logits)
+        lg16 = np.asarray(m16.apply(params, shared, vi, train=False).logits)
+        assert np.isfinite(lg16).all()
+        assert 0 < np.abs(lg16 - lg32).max() < 0.5
+        assert (lg16.argmax(-1) == lg32.argmax(-1)).all()
