@@ -1,0 +1,140 @@
+"""Capacity probe: largest context length T per attention path (round-2 verdict #4).
+
+The fused Pallas FVTA kernel's stated reason to exist on the long-T path is
+its O(T_block) VMEM streaming — it never materializes the [N, S, T, J]
+correlation tensor that the XLA einsum path allocates in HBM. This module
+MEASURES that claim instead of asserting it:
+
+- probe_largest_t(): on the current device, grow T until each path dies with
+  RESOURCE_EXHAUSTED; record the last T that ran and the first that OOM'd.
+  Inputs are generated ON DEVICE inside the jit (a [8, T, F] host array at
+  OOM-scale T would take minutes through this box's tunnel and prove
+  nothing). At FVTA's MemexQA shapes (J<=30) the correlation tensor is ~1%
+  of the input bytes and the two paths are expected to tie — the honest
+  result BASELINE.md already predicts; the kernel's streaming becomes the
+  capacity lever only when J grows (long-question variants, e.g.
+  subtitle-conditioned video QA: J~512 makes C the dominant allocation).
+- cp_memory_table(): per-device compiled memory (XLA memory_analysis) of the
+  SAME attention program unsharded vs context-parallel over an 8-device mesh
+  — the measured form of "CP divides per-chip bytes by the ctx axis", which
+  is the real capacity lever for FVTA-shaped attention (BASELINE.md).
+
+Run on the chip:   python -m fvta_memexqa_tpu.capacity_probe
+On CPU (mesh only): FVTA_PLATFORM=cpu python -m fvta_memexqa_tpu.capacity_probe --cp-only
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def _attention_fn(use_pallas: bool, similarity: str = "trilinear"):
+    from fvta_memexqa_tpu.ops.fvta_pallas import fvta_attention_pallas
+    from fvta_memexqa_tpu.ops.fvta_ref import (ATTENTION_VARIANTS,
+                                               similarity_tensor)
+
+    def fn(h, cm, q, qm, params):
+        if use_pallas:
+            return fvta_attention_pallas(h, cm, q, qm, similarity, params).context
+        c = similarity_tensor(h, q, similarity, params)
+        return ATTENTION_VARIANTS["fvta"](h, cm, q, qm, c).context
+
+    return fn
+
+
+def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int) -> None:
+    """One encoder-output-shaped attention forward at context length t, inputs
+    minted on device. Raises on OOM."""
+
+    @jax.jit
+    def go(key):
+        kh, kq = jax.random.split(key)
+        h = jax.random.normal(kh, (batch, 1, t, d), jnp.float32)
+        cm = jnp.ones((batch, 1, t), bool)
+        q = jax.random.normal(kq, (batch, j, d), jnp.float32)
+        qm = jnp.ones((batch, j), bool)
+        params = {"w_x": jnp.full((d,), 0.1), "w_y": jnp.full((d,), 0.1),
+                  "w_xy": jnp.full((d,), 0.1)}
+        return _attention_fn(use_pallas)(h, cm, q, qm, params).sum()
+
+    import numpy as np
+
+    np.asarray(go(jax.random.key(0)))  # force execution through the tunnel
+
+
+def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200,
+                    t_start: int = 1 << 14, t_cap: int = 1 << 22) -> dict:
+    """Doubling search: largest T that runs / first T that OOMs, per path."""
+    results = {}
+    for use_pallas in (False, True):
+        name = "pallas" if use_pallas else "xla"
+        last_ok, first_oom = None, None
+        t = t_start
+        while t <= t_cap:
+            try:
+                _run_at_t(t, use_pallas, batch, j, d)
+                last_ok = t
+                print(f"[{name}] T={t}: ok", flush=True)
+                t *= 2
+            except Exception as e:  # RESOURCE_EXHAUSTED surfaces as XlaRuntimeError
+                if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                    raise
+                first_oom = t
+                print(f"[{name}] T={t}: OOM", flush=True)
+                break
+        results[name] = {"last_ok_t": last_ok, "first_oom_t": first_oom}
+    return {"batch": batch, "j": j, "d": d, **results}
+
+
+def cp_memory_table(t: int = 65536, batch: int = 2, j: int = 30, d: int = 200,
+                    devices: int = 8) -> dict:
+    """Per-device compiled memory, unsharded vs CP over `devices` (virtual ok)."""
+    import numpy as np
+
+    from fvta_memexqa_tpu.config import MeshConfig
+    from fvta_memexqa_tpu.parallel.cp import make_cp_attention, shard_context
+    from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(0, 1, (batch, 1, t, d)).astype(np.float32))
+    cm = jnp.ones((batch, 1, t), bool)
+    q = jnp.asarray(rng.normal(0, 1, (batch, j, d)).astype(np.float32))
+    qm = jnp.ones((batch, j), bool)
+    params = {"w_x": jnp.full((d,), 0.1), "w_y": jnp.full((d,), 0.1),
+              "w_xy": jnp.full((d,), 0.1)}
+
+    def stats(compiled):
+        ma = compiled.memory_analysis()
+        return {"argument_mb": round(ma.argument_size_in_bytes / 2**20, 2),
+                "temp_mb": round(ma.temp_size_in_bytes / 2**20, 2)}
+
+    local_fn = _attention_fn(False)
+    c_local = jax.jit(local_fn).lower(h, cm, q, qm, params).compile()
+    mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=devices))
+    cp = make_cp_attention(mesh, "trilinear")
+    hs, cms = shard_context(mesh, h, cm)
+    c_cp = jax.jit(lambda *a: cp(*a).context).lower(hs, cms, q, qm, params).compile()
+    return {"t": t, "devices": devices,
+            "local_per_device": stats(c_local), "cp_per_device": stats(c_cp)}
+
+
+def main(argv=None):
+    import os
+    import sys
+
+    if os.environ.get("FVTA_PLATFORM"):
+        # the axon plugin ignores JAX_PLATFORMS; only the config knob works
+        jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    argv = sys.argv[1:] if argv is None else argv
+    out = {}
+    if "--cp-only" not in argv:
+        out["largest_t"] = probe_largest_t()
+    out["cp_memory"] = cp_memory_table()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
