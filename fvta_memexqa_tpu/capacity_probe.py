@@ -79,11 +79,18 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200,
                 last_ok = t
                 print(f"[{name}] T={t}: ok", flush=True)
                 t *= 2
-            except Exception as e:  # RESOURCE_EXHAUSTED surfaces as XlaRuntimeError
-                if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+            except Exception as e:
+                # OOM surfaces in several shapes (RESOURCE_EXHAUSTED, the
+                # buffer-assignment dump "Attempting to reserve/allocate",
+                # "exceeds the ... memory capacity"); match broadly, re-raise
+                # anything that isn't memory-related
+                msg = str(e).lower()
+                if not any(k in msg for k in
+                           ("resource_exhausted", "out of memory", "oom",
+                            "memory capacity", "exceeds", "allocat")):
                     raise
                 first_oom = t
-                print(f"[{name}] T={t}: OOM", flush=True)
+                print(f"[{name}] T={t}: OOM ({type(e).__name__})", flush=True)
                 break
         results[name] = {"last_ok_t": last_ok, "first_oom_t": first_oom}
     return {"batch": batch, "j": j, "d": d, **results}
@@ -122,17 +129,31 @@ def cp_memory_table(t: int = 65536, batch: int = 2, j: int = 30, d: int = 200,
 
 
 def main(argv=None):
+    import argparse
     import os
     import sys
 
     if os.environ.get("FVTA_PLATFORM"):
         # the axon plugin ignores JAX_PLATFORMS; only the config knob works
         jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
-    argv = sys.argv[1:] if argv is None else argv
+    p = argparse.ArgumentParser(prog="fvta capacity_probe")
+    p.add_argument("--cp-only", action="store_true")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--j", type=int, default=512,
+                   help="question length; C [N,S,T,J] dominates inputs when "
+                        "J >> D (long-question regime)")
+    p.add_argument("--d", type=int, default=200)
+    p.add_argument("--t-start", type=int, default=1 << 14)
+    args = p.parse_args(sys.argv[1:] if argv is None else argv)
     out = {}
-    if "--cp-only" not in argv:
-        out["largest_t"] = probe_largest_t()
-    out["cp_memory"] = cp_memory_table()
+    if not args.cp_only:
+        out["largest_t"] = probe_largest_t(batch=args.batch, j=args.j, d=args.d,
+                                           t_start=args.t_start)
+    if len(jax.devices()) >= 8:
+        out["cp_memory"] = cp_memory_table()
+    else:
+        out["cp_memory"] = "skipped: needs 8 devices (run with FVTA_PLATFORM=cpu " \
+                           "+ xla_force_host_platform_device_count=8)"
     print(json.dumps(out))
 
 

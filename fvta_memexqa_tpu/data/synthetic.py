@@ -141,14 +141,9 @@ def make_focal_synthetic(
     paper's ablation is its only correctness evidence). This generator builds
     the discriminating case:
 
-    - Every album contains EVERY object, one per photo in a per-album random
-      order, visible only as photo-feature directions (object words appear in
-      NO answer-bearing text). "what did we photograph first/last" questions
-      are answerable ONLY by localizing one END position of the photo
-      modality: object PRESENCE carries zero information (measured: with
-      presence-discriminating albums, mean-pool scored 0.68 by linear
-      unmixing), so the no-attention baseline is pinned to chance by
-      construction.
+    - "what did we photograph" questions hide the answer object in the features
+      of ONE photo (a single time position of the photo modality; every other
+      photo is pure noise). The answer word appears in NO text field.
     - The album description and every photo title are SATURATED with a decoy
       object — one of the 4 choices — co-occurring with the question's own
       words ("we photograph the zebra ..." repeated). Those ~P + T_text decoy
@@ -185,19 +180,17 @@ def make_focal_synthetic(
         city = _CITIES[i % len(_CITIES)]
         year = _YEARS[i % len(_YEARS)]
         month = _MONTHS[i % len(_MONTHS)]
-        # one object per photo, per-album random order covering the whole
-        # pool (cycled if P > pool): presence is uninformative, position is
-        # everything
-        perm = rng.permutation(len(_OBJECTS))
-        photo_objs = [_OBJECTS[int(perm[p % len(_OBJECTS)])]
-                      for p in range(photos_per_album)]
-        first_obj, last_obj = photo_objs[0], photo_objs[-1]
-        decoy_pool = [o for o in _OBJECTS if o not in (first_obj, last_obj)]
-        decoy = decoy_pool[int(rng.integers(len(decoy_pool)))]
+        obj = _OBJECTS[i % len(_OBJECTS)]
+        decoy = _OBJECTS[(i + 1 + int(rng.integers(len(_OBJECTS) - 1)))
+                         % len(_OBJECTS)]
+        if decoy == obj:  # adjacent pick collided after wrap
+            decoy = _OBJECTS[(i + 1) % len(_OBJECTS)]
+        evidence_pos = int(rng.integers(photos_per_album))
         pids = [f"p{i}_{p}" for p in range(photos_per_album)]
         for p, pid in enumerate(pids):
             f = 0.3 * rng.normal(0, 1, feat_dim).astype(np.float32)
-            f = f + obj_dirs[photo_objs[p]]
+            if p == evidence_pos:
+                f = f + obj_dirs[obj]
             photo_feats[pid] = (f / np.linalg.norm(f)).astype(np.float32)
         aid = f"album{i}"
         albums[aid] = Album(
@@ -212,36 +205,30 @@ def make_focal_synthetic(
             photo_gps=tuple((float(10 + i), float(20 + p))
                             for p in range(photos_per_album)),
         )
-        album_meta.append((aid, name, city, year, first_obj, last_obj, decoy))
+        album_meta.append((aid, name, city, year, obj, decoy))
 
     qas: list[QAPair] = []
     for qi in range(num_questions):
-        aid, name, city, year, first_obj, last_obj, decoy = (
-            album_meta[qi % num_albums])
+        aid, name, city, year, obj, decoy = album_meta[qi % num_albums]
         r = np.random.default_rng(seed * 7919 + qi)
-        # 0-1: focal "what ... first/last" (the discriminator, 40%) — answer
-        # is the object at one END of the photo sequence; every choice names
-        # an object PRESENT in the album, so only localization answers it.
-        # 2: "what did the album say" — the DECOY text is the answer channel,
-        # so decoy modalities cannot be suppressed wholesale and any gating
-        # must be question-conditioned (that's what makes the focal kinds
-        # hard for flat); 3: where; 4: year.
+        # 0-1: focal "what" (the discriminator, 40%); 2: "what did the album
+        # say" — the DECOY text is the answer channel, so decoy modalities
+        # cannot be suppressed wholesale and any gating must be question-
+        # conditioned (that's what makes the focal kind hard for flat);
+        # 3: where; 4: year.
         kind = qi % 5
         if kind <= 1:
-            end = ("first", "last")[kind]
-            question = f"what did we photograph {end} on the {name} trip ?"
-            answer = first_obj if kind == 0 else last_obj
-            wrong_end = last_obj if kind == 0 else first_obj
-            others = [o for o in _OBJECTS
-                      if o not in (answer, wrong_end, decoy)]
-            picks = r.choice(len(others), size=1, replace=False)
-            choices = [answer, wrong_end, decoy, others[int(picks[0])]]
+            question = f"what did we photograph on the {name} trip ?"
+            answer = obj
+            others = [o for o in _OBJECTS if o not in (obj, decoy)]
+            picks = r.choice(len(others), size=2, replace=False)
+            choices = [answer, decoy] + [others[int(j)] for j in picks]
         elif kind == 2:
             question = f"what did the album say we photograph on the {name} trip ?"
             answer = decoy
-            others = [o for o in _OBJECTS if o not in (first_obj, decoy)]
+            others = [o for o in _OBJECTS if o not in (obj, decoy)]
             picks = r.choice(len(others), size=2, replace=False)
-            choices = [answer, first_obj] + [others[int(j)] for j in picks]
+            choices = [answer, obj] + [others[int(j)] for j in picks]
         elif kind == 3:
             question = f"where did we go on the {name} trip ?"
             answer = city
@@ -284,7 +271,7 @@ def make_focal_synthetic(
          for w in (a.title + " " + a.description).split()}
         | set(_CITIES) | set(_YEARS) | set(_MONTHS) | set(_OBJECTS) | set(_NAMES)
         | {"where", "did", "we", "go", "on", "the", "trip", "what", "year",
-           "was", "photograph", "of", "a", "first", "last", "say", "album"}
+           "was", "photograph", "of", "a"}
     )
     grng = np.random.default_rng(seed + 1)
     glove = {

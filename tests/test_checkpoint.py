@@ -30,12 +30,14 @@ def cfg_for(packed, num_epochs, val_period=1000, save_period=6):
 
 class TestFaultInjection:
     def test_killed_run_resumes_bit_identically(self, packed_synth, tmp_path):
-        """Uninterrupted 3-epoch run vs (killed after ~1.4 epochs → resumed):
+        """Uninterrupted 2-epoch run vs (killed MID-epoch-2 → resumed):
         final params must match bit for bit. Exercises mid-epoch data-stream
-        positioning, optimizer state, and dropout-RNG restoration together."""
+        positioning, optimizer state, and dropout-RNG restoration together.
+        (2 epochs is the minimum that kills mid-epoch AND resumes across the
+        remaining batches of that epoch; was 3 — round-3 wall-clock cut.)"""
         straight = str(tmp_path / "straight")
         killed = str(tmp_path / "killed")
-        cfg3 = cfg_for(packed_synth, num_epochs=3)
+        cfg3 = cfg_for(packed_synth, num_epochs=2)
 
         res_a = run_train(cfg3, packed_synth, straight, echo=False)
 

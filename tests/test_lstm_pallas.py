@@ -113,8 +113,8 @@ class TestPallasScanGrad:
         state = init_state(cfg, model, shared, batch)
         step = make_train_step(cfg, model)
         l0 = None
-        for _ in range(4):
-            state, m = step(state, shared, batch)
+        for _ in range(2):  # interpret-mode steps are expensive; 2 suffice to
+            state, m = step(state, shared, batch)  # show finite + moving loss
             assert np.isfinite(float(m["loss"]))
             l0 = float(m["loss"]) if l0 is None else l0
         assert float(m["loss"]) < l0

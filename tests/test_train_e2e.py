@@ -81,11 +81,13 @@ class TestOverfit:
         assert len(set(z["qid"])) == n
 
     def test_resume_continues_from_checkpoint(self, packed_synth, tmp_path):
+        # minimal budgets: this asserts only that a second train() RESUMES
+        # (bitwise continuation is test_checkpoint's fault-injection job)
         out = str(tmp_path / "resume_run")
-        cfg = overfit_config(packed_synth, num_epochs=2)
+        cfg = overfit_config(packed_synth, num_epochs=1)
         res1 = run_train(cfg, packed_synth, out, echo=False)
         steps1 = res1["steps"]
-        cfg2 = overfit_config(packed_synth, num_epochs=4)
+        cfg2 = overfit_config(packed_synth, num_epochs=2)
         res2 = run_train(cfg2, packed_synth, out, echo=False)
         assert res2["steps"] > steps1  # resumed, not restarted
 
