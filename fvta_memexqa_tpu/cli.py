@@ -251,9 +251,11 @@ def cmd_predict(argv):
 
     from fvta_memexqa_tpu.serve import build_engine
 
+    # preingest=False: a one-shot predict only needs the referenced albums,
+    # which the store lazily encodes from their pack rows on first use
     engine, store, packed = build_engine(args.packdir, args.rundir,
                                          load_best=not args.load_latest,
-                                         batch_size=1)
+                                         batch_size=1, preingest=False)
     try:
         album_ids = [a for a in args.album_ids.split(",") if a]
         if args.raw_albums and args.raw_photo_npz:

@@ -389,6 +389,10 @@ def pack(
         "char2idx": vocab.char2idx,
         "num_albums": n_alb - 1,
         "num_photos": n_ph - 1,
+        # raw album id per shared-table row (row i+1 = album_ids[i]; row 0 is
+        # the pad album) — lets serving address packed albums by their raw id
+        # (AlbumStore.ingest_pack) without re-tokenizing album_info.json
+        "album_ids": used_album_ids,
         "split_sizes": {k: len(v) for k, v in splits.items()},
         "id_layout": ("0=PAD 1=UNK [2,2+G)=glove-frozen [2+G,V)=trainable "
                       "[V,V_ext)=extended-lexicon (UNK word emb + real chars)"),

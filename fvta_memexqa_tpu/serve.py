@@ -144,6 +144,12 @@ class AlbumStore:
         self._gen = 0
         self._saved_gen = 0
         self._store: "OrderedDict[str, tuple[jnp.ndarray, jnp.ndarray]]" = OrderedDict()
+        # raw album id → shared-table row, for packs that record their album
+        # ids (pack.py meta["album_ids"]); filled by attach_pack(). A pack-row
+        # album is always re-encodable from the HBM-resident shared tables, so
+        # it never needs host-side retained inputs.
+        self._pack_rows: dict[str, int] = {}
+        self._encode_rows = None  # jit'd row-encoder, built by attach_pack()
         # Host-side packed inputs per ingested album (numpy, OUTSIDE the device
         # byte budget, bounded by max_retained_inputs with LRU eviction): an
         # evicted album with retained inputs re-encodes on demand at query
@@ -194,7 +200,9 @@ class AlbumStore:
                 # via re-encode; an UNRECOVERABLE entry (restored from disk, no
                 # inputs) is only evicted when no recoverable victim remains,
                 # and that loss is counted.
-                victim = next((k for k in self._store if k in self._inputs), None)
+                victim = next((k for k in self._store
+                               if k in self._inputs or k in self._pack_rows),
+                              None)
                 if victim is None:
                     victim = next(iter(self._store))
                     self.evictions_unrecoverable += 1
@@ -215,6 +223,69 @@ class AlbumStore:
         h, m = self._encode(self.params, self.shared,
                             jax.tree.map(jnp.asarray, mi), self.vocab_table)
         self._put(album.album_id, h[0], m[0])        # [6, T, 2H], [6, T]
+
+    # ---- pack-resident albums ------------------------------------------------
+
+    def attach_pack(self, packed) -> int:
+        """Register a PackedDataset's albums as addressable by raw album id.
+
+        The pack's shared tables already hold every album's encoded-id tensors
+        (pack.py), so a packed album needs no host-side ModelInputs: encoding is
+        a row gather (device_prepro.assemble) + encode_context, and an evicted
+        entry re-encodes from the row on demand. Returns the number of albums
+        registered (0 for packs from before meta["album_ids"])."""
+        ids = packed.meta.get("album_ids") or []
+        if not ids:
+            return 0
+        self._pack_rows = {aid: i + 1 for i, aid in enumerate(ids)}
+        from fvta_memexqa_tpu.data.device_prepro import assemble
+        from fvta_memexqa_tpu.train import make_photo_table
+
+        # frozen-param photo fast path: one contiguous-row gather per album
+        # instead of P random 10KB rows (identical logits, parity-tested)
+        self._photo_table = make_photo_table(self.model, self.params, self.shared)
+        self._a1_cfg = self.cfg.replace(data=self.cfg.data.__class__(
+            **{**self.cfg.data.__dict__, "max_albums": 1}))
+        a1_model = FVTAModel(cfg=self._a1_cfg)
+
+        @jax.jit
+        def encode_rows(p, sh, b, vt, pt):
+            mi = assemble(sh, b, pt)
+            return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
+                                  method=a1_model.encode_context)
+
+        self._encode_rows = encode_rows
+        return len(ids)
+
+    def _encode_pack_rows(self, rows: np.ndarray):
+        """Encode shared-table rows → (h [n, 6, T, 2H], m [n, 6, T])."""
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.eval_cache import _album_only_batch
+
+        b = device_put_batch(_album_only_batch(self._a1_cfg, rows))
+        return self._encode_rows(self.params, self.shared, b,
+                                 self.vocab_table, self._photo_table)
+
+    def ingest_pack(self, batch_size: int = 64) -> int:
+        """Pre-encode every attached pack album not already cached (batched —
+        one encode_context call per `batch_size` albums). Pack entries never
+        dirty the persistence cache: they are reproducible from the pack."""
+        if not self._pack_rows:
+            return 0
+        with self._lock:
+            missing = [a for a in self._pack_rows if a not in self._store]
+        bs = min(batch_size, max(len(missing), 1))
+        for start in range(0, len(missing), bs):
+            chunk = missing[start : start + bs]
+            rows = np.fromiter((self._pack_rows[a] for a in chunk), np.int64,
+                               count=len(chunk))
+            pad = bs - len(chunk)
+            if pad:  # keep ONE jit shape across chunks (row 0 = pad album)
+                rows = np.concatenate([rows, np.zeros(pad, np.int64)])
+            h, m = self._encode_pack_rows(rows)
+            for i, a in enumerate(chunk):
+                self._put(a, h[i], m[i], mark_dirty=False)
+        return len(missing)
 
     def get_stacked(self, album_ids: list[str]):
         """Cached encodings for album_ids, padded to max_albums: ([S, T, 2H], [S, T]).
@@ -243,6 +314,12 @@ class AlbumStore:
                                     self.vocab_table)
                 # not dirty: reproduces a value the last save already captured
                 # (or the ingest-time dirty flag is still pending a save)
+                self._put(a, h[0], m[0], mark_dirty=False)
+                self.reencodes += 1
+                entries.append((h[0], m[0]))
+            elif a in self._pack_rows:  # pack album: re-encode from its row
+                h, m = self._encode_pack_rows(
+                    np.asarray([self._pack_rows[a]], np.int64))
                 self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
                 entries.append((h[0], m[0]))
@@ -719,13 +796,17 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 def build_engine(packdir: str, rundir: str, load_best: bool = True,
                  batch_size: int = 8, max_cache_bytes: int | None = None,
                  cache_dir: str | None = None, dp: int = 1,
-                 max_pending: int | None = None):
+                 max_pending: int | None = None, preingest: bool = True):
     """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
 
-    max_cache_bytes bounds the album-encoding cache (LRU eviction); cache_dir,
-    if it holds a previously saved cache, is restored instead of re-encoding.
-    dp > 1 serves over a data-parallel device mesh: params/tables replicated,
-    each query micro-batch sharded over the mesh's "data" axis."""
+    preingest batch-encodes every pack album into the store at startup, so
+    `ask`/`predict` can reference them by raw album id with no --raw-albums
+    side channel; packs from before meta["album_ids"] register 0 and still
+    work via raw/HTTP ingestion. max_cache_bytes bounds the album-encoding
+    cache (LRU eviction); cache_dir, if it holds a previously saved cache, is
+    restored instead of re-encoding. dp > 1 serves over a data-parallel device
+    mesh: params/tables replicated, each query micro-batch sharded over the
+    mesh's "data" axis."""
     from fvta_memexqa_tpu.checkpoint import CheckpointManager
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data.pack import load_pack
@@ -755,6 +836,10 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
     if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
         n = store.load(cache_dir)
         print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
+    if store.attach_pack(packed) and preingest:
+        n = store.ingest_pack()
+        if n:
+            print(f"pre-ingested {n} pack albums", flush=True)
     engine = QAEngine(store, batch_size=batch_size, max_pending=max_pending)
     w = engine.warmup()
     print(f"answer step warmed up in {w:.1f}s", flush=True)
@@ -795,13 +880,17 @@ def main(argv):
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
+    p.add_argument("--no-preingest", action="store_true",
+                   help="skip batch-encoding the pack's own albums at startup "
+                        "(they re-encode lazily per query instead)")
     args = p.parse_args(argv)
 
     engine, store, packed = build_engine(
         args.packdir, args.rundir, load_best=not args.load_latest,
         batch_size=args.batch_size,
         max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
-        cache_dir=args.cache_dir, dp=args.dp, max_pending=args.max_pending)
+        cache_dir=args.cache_dir, dp=args.dp, max_pending=args.max_pending,
+        preingest=not args.no_preingest)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info

@@ -209,8 +209,11 @@ def export_tf1_checkpoint(params: dict, path: str, prefix: str = "model",
     mapping = mapping or default_tf1_map(prefix)
     flat = _tree_paths(jax.tree.map(np.asarray, params))
     tensors: dict[str, np.ndarray] = {}
-    for path, leaf in flat.items():
-        spec = mapping.get(path)
+    # NB: do not name this loop variable `path` — it would shadow the save
+    # path and Saver would silently write to a leaf-named RELATIVE path
+    # (found as a stray word_embed/ checkpoint committed at the repo root).
+    for leaf_path, leaf in flat.items():
+        spec = mapping.get(leaf_path)
         if spec is None:
             continue
         if isinstance(spec, dict):

@@ -702,3 +702,81 @@ class TestHardening:
             assert stats["p95_ms"] is not None and stats["p95_ms"] < 30_000
         finally:
             engine.close()
+
+
+class TestPackIngestion:
+    """Packed albums addressable by raw id with NO --raw-albums side channel:
+    attach_pack registers the pack's album_ids → shared-table rows, ingest_pack
+    batch-encodes them, and evicted/lazy entries re-encode from their row.
+    Closes the silent zero-context gap: predict/serve against a packdir used to
+    report albums_found=0 for the pack's own albums."""
+
+    def test_pack_ingest_matches_raw_ingest(self, served, packed_synth):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(store.cfg, model, params, shared, store.vocab)
+        n = s2.attach_pack(packed_synth)
+        assert n == len(albums)
+        assert s2.ingest_pack() == len(albums)
+        assert s2.num_albums == len(albums)
+        for aid in albums:
+            h_raw, m_raw = store._store[aid]
+            h_pack, m_pack = s2._store[aid]
+            # photo-table fast path vs in-model projection: identical math,
+            # batched differently (same tolerance as the batch-path parity test)
+            np.testing.assert_allclose(np.asarray(h_pack), np.asarray(h_raw),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(m_pack), np.asarray(m_raw))
+
+    def test_lazy_pack_album_answerable(self, served, packed_synth):
+        """Without ingest_pack (predict's preingest=False path), a pack album
+        referenced by a query is encoded from its row on first use."""
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(store.cfg, model, params, shared, store.vocab)
+        s2.attach_pack(packed_synth)
+        assert s2.num_albums == 0
+        h, m, found = s2.get_stacked(["album0"])
+        assert found == 1 and s2.reencodes == 1 and s2.num_albums == 1
+        n_mod = 6
+        np.testing.assert_allclose(np.asarray(h[:n_mod]),
+                                   np.asarray(store._store["album0"][0]),
+                                   rtol=1e-5, atol=1e-5)
+        engine = QAEngine(s2, batch_size=2, batch_window_ms=1.0)
+        try:
+            a0 = albums["album0"]
+            res = engine.ask(f"where did we go on {a0.title} ?",
+                             [a0.where, "nowhere", "space", "atlantis"],
+                             ["album0"])
+            assert res["albums_found"] == 1
+        finally:
+            engine.close()
+
+    def test_pack_albums_survive_eviction(self, served, packed_synth):
+        """Pack entries count as re-encodable eviction victims and never go
+        unrecoverable, even with no retained host inputs."""
+        model, params, shared, store, albums, feats = served
+        one = AlbumStore._entry_bytes(*next(iter(store._store.values())))
+        s2 = AlbumStore(store.cfg, model, params, shared, store.vocab,
+                        max_bytes=int(one * 2.5))
+        s2.attach_pack(packed_synth)
+        s2.ingest_pack()
+        assert s2.num_albums == 2  # budget-evicted down from len(albums)
+        assert s2.evictions == len(albums) - 2
+        assert s2.evictions_unrecoverable == 0
+        for aid in sorted(albums):  # every album still answerable
+            _, _, found = s2.get_stacked([aid])
+            assert found == 1
+        assert s2.cache_bytes <= int(one * 2.5)
+
+    def test_attach_pack_without_album_ids_meta(self, served, packed_synth):
+        """Packs from before meta["album_ids"] degrade to raw/HTTP ingestion."""
+        import dataclasses
+
+        model, params, shared, store, albums, feats = served
+        old = dataclasses.replace(
+            packed_synth,
+            meta={k: v for k, v in packed_synth.meta.items() if k != "album_ids"})
+        s2 = AlbumStore(store.cfg, model, params, shared, store.vocab)
+        assert s2.attach_pack(old) == 0
+        assert s2.ingest_pack() == 0
+        _, _, found = s2.get_stacked(["album0"])
+        assert found == 0

@@ -45,6 +45,9 @@ class TestTF1RoundTrip:
     def test_bitwise_roundtrip_and_consumable(self, model_and_params, tmp_path):
         model, params, shared, mi = model_and_params
         prefix = export_tf1_checkpoint(params["params"], str(tmp_path / "ck"))
+        # regression: a shadowed loop variable once made Saver write to a
+        # leaf-named path relative to CWD instead of the requested prefix
+        assert prefix == str(tmp_path / "ck")
         tfvars = read_tf_checkpoint(prefix)
         new, report = convert_params(params["params"], tfvars, default_tf1_map())
         assert report["imported"] > 20 and report["kept_init"] == 0

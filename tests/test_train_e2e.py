@@ -138,6 +138,15 @@ class TestCLI:
             "--raw-photo-npz", f"{raw}/photo_feats.npz",
         ]))
         assert out3["albums_found"] == 1 and len(out3["probs"]) == 4
+        # ...and against the pack's own album with NO raw side channel: the
+        # store lazily encodes it from its pack row (used to silently answer
+        # with zero context, albums_found=0)
+        out4 = json.loads(run([
+            "predict", packdir, rundir, "--question", "where did we go ?",
+            "--choices", "a|b|c|d", "--album-ids", "album0",
+        ]))
+        assert out4["albums_found"] == 1
+        assert np.allclose(out4["probs"], out3["probs"], atol=1e-4)
 
     def test_ablate_cli(self, tmp_path):
         raw = str(tmp_path / "raw")
