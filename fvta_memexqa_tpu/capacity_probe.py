@@ -45,16 +45,32 @@ def _attention_fn(use_pallas: bool, similarity: str = "trilinear"):
     return fn
 
 
-def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int) -> None:
+def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int,
+              s: int = 8) -> None:
     """One encoder-output-shaped attention forward at context length t, inputs
-    minted on device. Raises on OOM."""
+    minted on device. Raises on OOM.
+
+    s >= 8 is REQUIRED to probe the fused kernel: fvta_attention_pallas
+    dispatches thin-S shapes to the XLA path (its S-padding cost rule), so an
+    s=1 probe silently measures XLA twice and reports a tie."""
+
+    from jax import lax
+
+    def mint(shape):
+        # Deterministic varied fill from fused iotas: exactly ONE output
+        # buffer. jax.random.normal here would materialize a same-size
+        # uint32 bits buffer alongside the output — doubling the probe's
+        # own footprint at precisely the OOM scales it exists to measure
+        # (it turned a real XLA-vs-fused capacity separation into a tie).
+        i2 = lax.broadcasted_iota(jnp.float32, shape, len(shape) - 2)
+        i3 = lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
+        return jnp.sin(i2 * 7.77e-3 + i3 * 0.31)
 
     @jax.jit
-    def go(key):
-        kh, kq = jax.random.split(key)
-        h = jax.random.normal(kh, (batch, 1, t, d), jnp.float32)
-        cm = jnp.ones((batch, 1, t), bool)
-        q = jax.random.normal(kq, (batch, j, d), jnp.float32)
+    def go():
+        h = mint((batch, s, t, d))
+        cm = jnp.ones((batch, s, t), bool)
+        q = mint((batch, j, d))
         qm = jnp.ones((batch, j), bool)
         params = {"w_x": jnp.full((d,), 0.1), "w_y": jnp.full((d,), 0.1),
                   "w_xy": jnp.full((d,), 0.1)}
@@ -62,10 +78,10 @@ def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int) -> None:
 
     import numpy as np
 
-    np.asarray(go(jax.random.key(0)))  # force execution through the tunnel
+    np.asarray(go())  # force execution through the tunnel
 
 
-def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200,
+def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
                     t_start: int = 1 << 14, t_cap: int = 1 << 22) -> dict:
     """Doubling search: largest T that runs / first T that OOMs, per path."""
     results = {}
@@ -75,7 +91,7 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200,
         t = t_start
         while t <= t_cap:
             try:
-                _run_at_t(t, use_pallas, batch, j, d)
+                _run_at_t(t, use_pallas, batch, j, d, s)
                 last_ok = t
                 print(f"[{name}] T={t}: ok", flush=True)
                 t *= 2
@@ -143,12 +159,15 @@ def main(argv=None):
                    help="question length; C [N,S,T,J] dominates inputs when "
                         "J >> D (long-question regime)")
     p.add_argument("--d", type=int, default=200)
+    p.add_argument("--s", type=int, default=8,
+                   help="modality/sequence axis; >=8 or the fused kernel "
+                        "dispatches to XLA and the probe measures XLA twice")
     p.add_argument("--t-start", type=int, default=1 << 14)
     args = p.parse_args(sys.argv[1:] if argv is None else argv)
     out = {}
     if not args.cp_only:
         out["largest_t"] = probe_largest_t(batch=args.batch, j=args.j, d=args.d,
-                                           t_start=args.t_start)
+                                           s=args.s, t_start=args.t_start)
     if len(jax.devices()) >= 8:
         out["cp_memory"] = cp_memory_table()
     else:

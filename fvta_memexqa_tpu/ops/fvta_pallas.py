@@ -37,10 +37,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fvta_memexqa_tpu.ops.fvta_ref import (AttentionOutput, focal_local_stats,
-                                            fvta_attention, similarity_tensor)
+from fvta_memexqa_tpu.ops.fvta_ref import (AttentionOutput, focal_finalize,
+                                           focal_local_stats, fvta_attention,
+                                           similarity_tensor)
 
 NEG = -1e30
+
+# Finalizing-kernel block-count ceiling: its e_buf scratch is O(S*T) VMEM and
+# its last-block finalize UNROLLS over the block count — measured fine at the
+# video shapes (nt=8 @ T=4096) and dead (Mosaic compile failure) at nt~256.
+# Beyond this, fvta_attention_pallas streams stats to HBM + finalizes in XLA.
+_FINALIZE_MAX_BLOCKS = 16
 
 
 def _on_tpu() -> bool:
@@ -277,8 +284,21 @@ def _fvta_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int, interpret: boo
     )(h, cm_f, q, qm_f, wx, wy, wxy)
 
 
-def _pick_tblock(t: int, max_block: int = 512) -> int:
-    for cand in range(min(t, max_block), 0, -1):
+def _pick_tblock(t: int, s: int = 8, j: int = 32, max_block: int = 512,
+                 c_budget_bytes: int = 4 << 20) -> int:
+    """Largest divisor of t <= max_block whose per-block correlation
+    temporaries [S, Tb, J] stay within a measured VMEM budget.
+
+    The kernel materializes several S*Tb*J f32 temporaries per grid step
+    (c, its masked/exponentiated forms, plus Mosaic double-buffering); at
+    MemexQA shapes (S~48, J~30) these are small and Tb=512 is the measured
+    best, but at long-question shapes (J=512) Tb=512 blows VMEM — the chip
+    rejects the kernel at T where the unfused XLA path still runs. The 4MB
+    c-budget keeps every measured-good config at its current block (48*512*30
+    = 2.95MB) and shrinks exactly the configs that failed (8*512*512 = 8.4MB
+    caps to Tb=256, and both 256 and 128 are verified to run on chip)."""
+    cap = max(1, c_budget_bytes // (4 * s * j))
+    for cand in range(min(t, max_block, cap), 0, -1):
         if t % cand == 0:
             return cand
     return t
@@ -300,6 +320,23 @@ def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: d
     if similarity not in ("trilinear", "dot") or h.shape[1] < 8:
         c = similarity_tensor(h, q, similarity, sim_params)
         return fvta_attention(h, ctx_mask, q, q_mask, c)
+    t, s = h.shape[2], h.shape[1]
+    tb = tblock or _pick_tblock(t, s=s, j=q.shape[1])
+    if t // tb > _FINALIZE_MAX_BLOCKS:
+        # Long-T streaming form: the finalizing kernel buffers EVERY block's
+        # raw scores in VMEM (e_buf is O(S*T)) and unrolls its finalize over
+        # the block count — measured to stop compiling near nt~256 on the v5
+        # lite, below the T where the unfused XLA path still runs. Streaming
+        # the per-block stats to HBM (O(Tb) VMEM, the stats kernel) and
+        # finalizing in XLA keeps one fused pass over the correlation and
+        # scales T to the HBM limit: measured 2x the XLA path's largest T at
+        # J=512 (BASELINE.md capacity table). Differentiable via the stats
+        # custom_vjp; long-T *backward* belongs to CP (the rematerialized
+        # bwd builds the local correlation, like any XLA backward would).
+        m, den, v, eq, e = fvta_stats_pallas(h, ctx_mask, q, q_mask, similarity,
+                                             sim_params, tblock=tb,
+                                             interpret=interpret)
+        return focal_finalize(m, den, v, eq, e, q, q_mask, ctx_mask.any(-1))
     if similarity == "trilinear":
         wx, wy, wxy = sim_params["w_x"], sim_params["w_y"], sim_params["w_xy"]
     else:  # dot
@@ -307,7 +344,7 @@ def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: d
         wy = jnp.zeros(d, h.dtype)
         wxy = jnp.ones(d, h.dtype)
     return _core(h, ctx_mask.astype(jnp.float32), q, q_mask.astype(jnp.float32),
-                 wx, wy, wxy, tblock, interpret)
+                 wx, wy, wxy, tb, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -322,7 +359,7 @@ def _core_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
     # the dispatch in fvta_attention_pallas routes S<8 to the XLA path, so the
     # kernel always sees the Mosaic sublane minimum (stats mode pads instead)
     assert s >= 8, "fused FVTA kernel requires S >= 8 (dispatch handles S < 8)"
-    tb = tblock or _pick_tblock(h.shape[2])
+    tb = tblock or _pick_tblock(h.shape[2], s=s, j=q.shape[1])
     ctx, qatt, ta, sa = _fvta_pallas_call(
         h, cm_f, q, qm_f[:, None, :], wx[None], wy[None], wxy[None], tb, interpret
     )
@@ -393,7 +430,7 @@ def _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
     if s_pad != s:
         h = jnp.pad(h, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         cm_f = jnp.pad(cm_f, ((0, 0), (0, s_pad - s), (0, 0)))
-    tb = tblock or _pick_tblock(t)
+    tb = tblock or _pick_tblock(t, s=s_pad, j=q.shape[1])
     m, den, v, eq, e = _fvta_stats_pallas_call(
         h, cm_f, q, qm_f[:, None, :], wx[None], wy[None], wxy[None], tb, interpret
     )

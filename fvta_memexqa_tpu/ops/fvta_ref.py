@@ -150,6 +150,37 @@ def focal_local_stats(
     return m, den, v, eq, e
 
 
+def focal_finalize(m, den, v, eq, e, q, q_mask, seq_valid) -> AttentionOutput:
+    """Finalize (possibly composed) online-softmax statistics into the
+    attention output — the single definition of the stats→output math shared
+    by context parallelism (parallel/cp.py composes per-shard stats across
+    devices, then finalizes) and the long-T streaming path of the fused kernel
+    (ops/fvta_pallas streams per-block stats to HBM, then finalizes here).
+
+    Inputs are focal_local_stats' tuple, already reduced over shards if any:
+    m/den [N, S], v [N, S, D], eq [N, J], e [N, S, Tl] (local time scores for
+    the attention map), plus seq_valid [N, S] = "any valid t anywhere".
+    Numerically identical to fvta_attention (parity-tested via cp + pallas)."""
+    import jax
+
+    from fvta_memexqa_tpu.ops.masking import VERY_NEGATIVE
+
+    g = jnp.where(seq_valid, m, VERY_NEGATIVE)
+    b = jax.nn.softmax(g, axis=-1) * seq_valid
+    b = b / jnp.maximum(b.sum(-1, keepdims=True), 1e-30)            # [N, S]
+    vbar = v / jnp.maximum(den[..., None], 1e-30)                   # [N, S, D]
+    ctx = jnp.einsum("ns,nsd->nd", b, vbar)
+
+    eqm = eq + (1.0 - q_mask.astype(eq.dtype)) * VERY_NEGATIVE
+    wq = jax.nn.softmax(eqm, axis=-1)
+    q_att = jnp.einsum("nj,njd->nd", wq, q)
+
+    time_attn = jnp.exp(e - m[..., None]) / jnp.maximum(
+        den[..., None], 1e-30) * seq_valid[..., None]
+    return AttentionOutput(context=ctx, question=q_att,
+                           time_attn=time_attn, seq_attn=b)
+
+
 def _question_side(
     c: jnp.ndarray, ctx_mask: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray
 ) -> jnp.ndarray:

@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fvta_memexqa_tpu.ops.fvta_ref import AttentionOutput, focal_local_stats
-from fvta_memexqa_tpu.ops.masking import VERY_NEGATIVE
+from fvta_memexqa_tpu.ops.fvta_ref import (AttentionOutput, focal_finalize,
+                                           focal_local_stats)
 
 
 import functools
@@ -88,28 +88,16 @@ def fvta_attention_cp(h, cm, q, qm, similarity: str, sim_params: dict,
     den_g = jax.lax.psum(den * scale, axis_name)
     v_g = jax.lax.psum(v * scale[..., None], axis_name)
 
-    # sequence-level focal softmax over the GLOBAL per-sequence maxima.
     # Validity comes from the CONTEXT mask (any valid t on any shard), not from
     # m_g: an all-masked QUESTION also absorbs m_g to -1e30, but the reference
     # seq_mask = ctx_mask.any(-1) still counts such sequences (finite-uniform
     # exp_mask semantics — ops/masking.py).
     seq_valid = jax.lax.psum(
         cm.any(axis=-1).astype(m_g.dtype), axis_name) > 0.5        # [N, S]
-    g = jnp.where(seq_valid, m_g, VERY_NEGATIVE)
-    b = jax.nn.softmax(g, axis=-1) * seq_valid                     # [N, S]
-    b = b / jnp.maximum(b.sum(-1, keepdims=True), 1e-30)
-    vbar = v_g / jnp.maximum(den_g[..., None], 1e-30)              # [N, S, D]
-    ctx = jnp.einsum("ns,nsd->nd", b, vbar)
-
     eq_g = _diff_pmax(eq, axis_name)                               # [N, J]
-    eqm = eq_g + (1.0 - qm.astype(eq_g.dtype)) * VERY_NEGATIVE
-    wq = jax.nn.softmax(eqm, axis=-1)
-    q_att = jnp.einsum("nj,njd->nd", wq, q)
-
-    time_attn = jnp.exp(e - m_g[..., None]) / jnp.maximum(
-        den_g[..., None], 1e-30) * seq_valid[..., None]
-    return AttentionOutput(context=ctx, question=q_att,
-                           time_attn=time_attn, seq_attn=b)
+    # stats→output math shared with the fused kernel's streaming path
+    # (ops/fvta_ref.focal_finalize); e stays local, so time_attn is sharded
+    return focal_finalize(m_g, den_g, v_g, eq_g, e, q, qm, seq_valid)
 
 
 def make_cp_attention(mesh: Mesh, similarity: str, axis_name: str = "ctx",

@@ -173,6 +173,68 @@ class TestFVTAStatsPallas:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestFVTAStreamingDispatch:
+    """Long-T streaming form: when the block count exceeds _FINALIZE_MAX_BLOCKS
+    the public entry streams per-block stats to HBM (fvta_stats_pallas) and
+    finalizes in XLA via the shared focal_finalize — O(Tb) VMEM instead of the
+    finalizing kernel's O(S*T) e_buf. Must stay parity with the reference."""
+
+    def test_dispatch_threshold(self):
+        from fvta_memexqa_tpu.ops import fvta_pallas as fp
+
+        assert 64 // 2 > fp._FINALIZE_MAX_BLOCKS  # the cases below stream
+
+    def test_streaming_matches_ref(self):
+        h, cm, q, qm, p = make_case(t=64, seed=10)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=2),
+                     ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-5)
+
+    def test_streaming_dead_sequence(self):
+        h, cm, q, qm, p = make_case(t=64, seed=11)
+        cm = np.asarray(cm).copy()
+        cm[:, 0, :] = False
+        cm = jnp.asarray(cm)
+        out = fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=2)
+        assert np.isfinite(np.asarray(out.context)).all()
+        assert_close(out, ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-5)
+
+    def test_streaming_grads_match_ref(self):
+        h, cm, q, qm, p = make_case(t=64, seed=12)
+
+        def loss(fn):
+            def f(h_, q_, p_):
+                o = fn(h_, q_, p_)
+                return (o.context**2).sum() + (o.question**2).sum()
+            return f
+
+        g_p = jax.grad(loss(lambda h_, q_, p_: fvta_attention_pallas(
+            h_, cm, q_, qm, "trilinear", p_, tblock=2)), argnums=(0, 1, 2))(h, q, p)
+        g_r = jax.grad(loss(lambda h_, q_, p_: ref_out(h_, cm, q_, qm, p_)),
+                       argnums=(0, 1, 2))(h, q, p)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_focal_finalize_matches_single_pass(self):
+        """focal_finalize(focal_local_stats(...)) — the stats→output math shared
+        by CP and the streaming path — equals the one-shot fvta_attention."""
+        from fvta_memexqa_tpu.ops.fvta_ref import focal_finalize, focal_local_stats
+
+        h, cm, q, qm, p = make_case(t=16, seed=13)
+        m, den, v, eq, e = focal_local_stats(h, cm, q, qm, "trilinear", p)
+        out = focal_finalize(m, den, v, eq, e, q, qm, cm.any(-1))
+        assert_close(out, ref_out(h, cm, q, qm, p))
+
+    def test_pick_tblock_vmem_budget(self):
+        """Long-question shapes must shrink the time block: 8*512*512 f32
+        correlation temporaries exceed the measured VMEM budget at Tb=512."""
+        from fvta_memexqa_tpu.ops.fvta_pallas import _pick_tblock
+
+        assert _pick_tblock(4096, s=48, j=30) == 512   # MemexQA: unchanged
+        assert _pick_tblock(4096, s=8, j=512) <= 256   # long-J: capped
+        assert 4096 % _pick_tblock(4096, s=8, j=512) == 0
+
+
 class TestFVTAPallasGrad:
     def test_grads_match_ref(self):
         h, cm, q, qm, p = make_case(seed=8)
