@@ -1,0 +1,43 @@
+"""Capacity probe (BASELINE.md 'Largest-T capacity'): the measurement machinery
+must keep running on CPU so the on-chip numbers stay reproducible — both
+attention paths execute at small T, the fused path actually engages (S>=8
+dispatch), and the CP memory table reports the per-device reduction."""
+
+import jax
+import pytest
+
+from fvta_memexqa_tpu.capacity_probe import _run_at_t, cp_memory_table
+
+
+def test_both_paths_run_small_t():
+    # small T, probe shapes (J=512 long-question regime); must not raise
+    _run_at_t(64, use_pallas=False, batch=2, j=512, d=16, s=8)
+    _run_at_t(64, use_pallas=True, batch=2, j=512, d=16, s=8)
+
+
+def test_pallas_probe_hits_fused_path(monkeypatch):
+    """The probe exists to measure the fused kernel; if dispatch silently
+    routes its shapes to the XLA path (the round-3 s=1 bug), the probe
+    measures XLA twice and records a fake tie. Assert the kernel entry is
+    reached at probe shapes."""
+    import fvta_memexqa_tpu.ops.fvta_pallas as fp
+
+    called = {}
+    real = fp._core
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(fp, "_core", spy)
+    _run_at_t(64, use_pallas=True, batch=2, j=32, d=16, s=8)
+    assert called.get("hit"), "probe shapes dispatched away from the fused kernel"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_cp_memory_table_reports_reduction():
+    out = cp_memory_table(t=4096, batch=2, j=30, d=64, devices=8)
+    local = out["local_per_device"]
+    cp = out["cp_per_device"]
+    assert local["argument_mb"] > cp["argument_mb"] * 4  # ~8x measured on 8 devices
+    assert local["temp_mb"] > cp["temp_mb"] * 2
