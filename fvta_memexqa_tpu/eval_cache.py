@@ -13,6 +13,8 @@ here done offline for split evaluation; `cli test` uses it by default
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,20 +46,24 @@ def _album_only_batch(cfg: Config, rows: np.ndarray) -> Batch:
     )
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _encode_album_jit(a1_model, p, sh, b, vt, pt):
+    mi = assemble(sh, b, pt)
+    return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
+                          method=a1_model.encode_context)
+
+
 def precompute_album_cache(cfg: Config, model: FVTAModel, params,
                            shared: SharedTables, batch_size: int = 64,
                            vocab_table=None, photo_table=None):
     """Encode every album row once → (h [R, 6, T, 2H], mask [R, 6, T]) on device.
     Row 0 is the pad album (all-masked)."""
+    from fvta_memexqa_tpu.train import canonical_model
+
     a1_cfg = cfg.replace(data=cfg.data.__class__(
         **{**cfg.data.__dict__, "max_albums": 1}))
     a1_model = FVTAModel(cfg=a1_cfg)
-
-    @jax.jit
-    def encode(p, sh, b, vt, pt):
-        mi = assemble(sh, b, pt)
-        return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
-                              method=a1_model.encode_context)
+    encode = functools.partial(_encode_album_jit, canonical_model(a1_model))
 
     num_rows = int(shared.album_photo_idx.shape[0])
     hs, ms = [], []
@@ -85,21 +91,26 @@ def gather_cached_context(cache_h, cache_m, album_idx, album_mask):
     return h.reshape(n, a * n_mod, t, -1), m.reshape(n, a * n_mod, t)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _cached_eval_step_jit(model, params, shared, cache_h, cache_m, batch,
+                          vocab_table=None):
+    mi = assemble(shared, batch)  # query-side fields; album fields unused below
+    h_ctx, ctx_mask = gather_cached_context(cache_h, cache_m,
+                                            batch.album_idx, batch.album_mask)
+    out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
+                      vocab_table=vocab_table, method=model.answer)
+    from fvta_memexqa_tpu.train import masked_choice_metrics
+
+    return masked_choice_metrics(out.logits, mi.label, mi.ex_mask)
+
+
 def make_cached_eval_step(cfg: Config, model: FVTAModel):
-    """Eval step consuming the album cache: gathers per-question context states."""
+    """Eval step consuming the album cache: gathers per-question context states.
+    Module-level jit with the (frozen, hashable) model static — repeated
+    evaluate_cached calls share one trace per model config."""
+    from fvta_memexqa_tpu.train import canonical_model
 
-    def eval_step(params, shared: SharedTables, cache_h, cache_m, batch: Batch,
-                  vocab_table=None):
-        mi = assemble(shared, batch)  # query-side fields; album fields unused below
-        h_ctx, ctx_mask = gather_cached_context(cache_h, cache_m,
-                                                batch.album_idx, batch.album_mask)
-        out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
-                          vocab_table=vocab_table, method=model.answer)
-        from fvta_memexqa_tpu.train import masked_choice_metrics
-
-        return masked_choice_metrics(out.logits, mi.label, mi.ex_mask)
-
-    return jax.jit(eval_step)
+    return functools.partial(_cached_eval_step_jit, canonical_model(model))
 
 
 def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,

@@ -55,17 +55,44 @@ class TrainState:
     rng_key: jnp.ndarray   # raw key data (uint32), restorable by orbax
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+def canonical_model(model):
+    """Canonicalize a model's static identity for jit keying: the model graph
+    reads ONLY cfg.model + cfg.data (verified — no cfg.train/cfg.mesh use in
+    models/), so two models whose configs differ only in loop bookkeeping
+    (num_epochs, periods, seed, mesh axes) must share one trace. Without this,
+    e.g. resuming a run with a higher num_epochs recompiled the full model
+    (~35s measured on this box)."""
+    from fvta_memexqa_tpu.config import MeshConfig, TrainConfig
+
+    cfg = model.cfg
+    canon = cfg.replace(train=TrainConfig(), mesh=MeshConfig())
+    return model if cfg == canon else model.clone(cfg=canon)
+
+
+def _opt_key(cfg: Config) -> tuple:
+    """The ONLY TrainConfig fields the jitted step depends on. The train-step
+    jit is static-keyed on this tuple, NOT the whole Config — otherwise two
+    configs differing only in loop bookkeeping (num_epochs, periods, seed)
+    would retrace the full model (measured ~35s per retrace on this box)."""
     t = cfg.train
-    if t.optimizer == "adam":
-        opt = optax.adam(t.learning_rate)
-    elif t.optimizer == "adadelta":
-        opt = optax.adadelta(t.learning_rate)
+    return (t.optimizer, t.learning_rate, t.grad_clip_norm)
+
+
+def _optimizer_from_key(key: tuple) -> optax.GradientTransformation:
+    optimizer, learning_rate, grad_clip_norm = key
+    if optimizer == "adam":
+        opt = optax.adam(learning_rate)
+    elif optimizer == "adadelta":
+        opt = optax.adadelta(learning_rate)
     else:
-        raise ValueError(f"unknown optimizer {t.optimizer}")
-    if t.grad_clip_norm > 0:
-        opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
+        raise ValueError(f"unknown optimizer {optimizer}")
+    if grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
     return opt
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return _optimizer_from_key(_opt_key(cfg))
 
 
 def masked_choice_metrics(logits, label, ex_mask) -> dict:
@@ -92,18 +119,27 @@ def loss_and_metrics(model: FVTAModel, params, shared: SharedTables, batch: Batc
     return loss, m
 
 
+# The step builders return module-level jits with (cfg, model) STATIC — both
+# are frozen dataclasses, so equal configs hash equal and every train()/
+# evaluate()/serve entry in a process shares one trace per config instead of
+# re-tracing a fresh closure per call (measured: repeated run_train calls in
+# the suite spent more time re-tracing than training).
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def _init_params_jit(model, k, sh, b):
+    mi = assemble(sh, b)
+    return model.init(k, sh, mi, train=False)
+
+
 def init_state(cfg: Config, model: FVTAModel, shared: SharedTables, batch: Batch,
                seed: int | None = None) -> TrainState:
     seed = cfg.train.seed if seed is None else seed
     key = jax.random.key(seed)
     k_init, k_run = jax.random.split(key)
 
-    @jax.jit
-    def _init(k, sh, b):
-        mi = assemble(sh, b)
-        return model.init(k, sh, mi, train=False)
-
-    params = _init(k_init, shared, batch)
+    params = _init_params_jit(canonical_model(model), k_init, shared, batch)
     opt = make_optimizer(cfg)
     return TrainState(
         params=params,
@@ -113,40 +149,45 @@ def init_state(cfg: Config, model: FVTAModel, shared: SharedTables, batch: Batch
     )
 
 
+@_functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def _train_step_jit(opt_key, model, state, shared, batch):
+    opt = _optimizer_from_key(opt_key)
+
+    def _wrapped_loss(params, sh, b, k):
+        return loss_and_metrics(model, params, sh, b, k, True)
+
+    key = jax.random.wrap_key_data(state.rng_key)
+    key, k_drop = jax.random.split(key)
+    (loss, m), grads = jax.value_and_grad(_wrapped_loss, has_aux=True)(
+        state.params, shared, batch, k_drop
+    )
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=state.step + 1,
+        rng_key=jax.random.key_data(key),
+    )
+    metrics = {"loss": loss, "acc": m["correct"] / jnp.maximum(m["count"], 1.0)}
+    return new_state, metrics
+
+
 def make_train_step(cfg: Config, model: FVTAModel):
-    opt = make_optimizer(cfg)
+    return _functools.partial(_train_step_jit, _opt_key(cfg),
+                              canonical_model(model))
 
-    def _wrapped_loss(params, shared, batch, k):
-        return loss_and_metrics(model, params, shared, batch, k, True)
 
-    def train_step(state: TrainState, shared: SharedTables, batch: Batch):
-        key = jax.random.wrap_key_data(state.rng_key)
-        key, k_drop = jax.random.split(key)
-        (loss, m), grads = jax.value_and_grad(_wrapped_loss, has_aux=True)(
-            state.params, shared, batch, k_drop
-        )
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            step=state.step + 1,
-            rng_key=jax.random.key_data(key),
-        )
-        metrics = {"loss": loss, "acc": m["correct"] / jnp.maximum(m["count"], 1.0)}
-        return new_state, metrics
-
-    return jax.jit(train_step, donate_argnums=(0,))
+@_functools.partial(jax.jit, static_argnums=0)
+def _eval_step_jit(model, params, shared, batch, vocab_table=None,
+                   photo_table=None):
+    _, m = loss_and_metrics(model, params, shared, batch, None, False,
+                            vocab_table, photo_table)
+    return m
 
 
 def make_eval_step(cfg: Config, model: FVTAModel):
-    def eval_step(params, shared: SharedTables, batch: Batch, vocab_table=None,
-                  photo_table=None):
-        _, m = loss_and_metrics(model, params, shared, batch, None, False,
-                                vocab_table, photo_table)
-        return m
-
-    return jax.jit(eval_step)
+    return _functools.partial(_eval_step_jit, canonical_model(model))
 
 
 # Module-level jits with the (hashable, frozen-config) model static: repeated
@@ -171,7 +212,7 @@ def make_vocab_table(model: FVTAModel, params, shared: SharedTables):
     identical logits, parity-tested)."""
     if not model.cfg.model.vocab_embed:
         return None
-    return _vocab_table_jit(model, params, shared)
+    return _vocab_table_jit(canonical_model(model), params, shared)
 
 
 def make_photo_table(model: FVTAModel, params, shared: SharedTables):
@@ -179,7 +220,7 @@ def make_photo_table(model: FVTAModel, params, shared: SharedTables):
     frozen-param evaluation (pure function of params+shared; replaces the
     per-step raw [N,A,P,2537] gather + projection — identical logits,
     parity-tested). Pass to assemble()/eval_step as photo_table."""
-    return _photo_table_jit(model, params, shared)
+    return _photo_table_jit(canonical_model(model), params, shared)
 
 
 def make_eval_tables(model: FVTAModel, params, shared: SharedTables):
@@ -250,16 +291,23 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
         shared = jax.device_put(shared, replicated(mesh))
 
     first = device_put_batch(next(iter(train_ds.get_batches(cfg.train.batch_size))))
-    state = init_state(cfg, model, shared, first)
-    if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+
+    # One canonical state placement for BOTH the fresh-init and the restore
+    # path: orbax returns arrays COMMITTED to devices while fresh init leaves
+    # them uncommitted, and committed-ness is part of the jit cache key — a
+    # resume otherwise recompiles the full train+eval steps (~25s measured).
+    def _canonical_placement(s):
+        return jax.device_put(
+            s, replicated(mesh) if mesh is not None else jax.devices()[0])
+
+    state = _canonical_placement(init_state(cfg, model, shared, first))
 
     ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
     start_epoch = 0
     skip_batches = 0
     nb = max(train_ds.num_batches(cfg.train.batch_size), 1)
     if ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = _canonical_placement(ckpt.restore(state))
         # Exact resume (SURVEY.md section 5 "Failure detection"): the data order is
         # deterministic given (seed, epoch), so position = step mod batches-per-epoch
         # resumes the SAME stream — a killed run continues bit-identically (tested by
@@ -372,6 +420,14 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             "shared": shared, "mesh": mesh}
 
 
+@_functools.partial(jax.jit, static_argnums=0)
+def _attn_dump_step_jit(model, p, sh, b, vt=None, pt=None):
+    mi = assemble(sh, b, pt)
+    out = model.apply(p, sh, mi, train=False, vocab_table=vt)
+    return (jax.nn.softmax(out.logits), out.attention.time_attn,
+            out.attention.seq_attn)
+
+
 def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
                    dataset: Dataset, batch_size: int, path: str) -> int:
     """Write per-question FVTA attention maps + predictions to an .npz:
@@ -382,13 +438,8 @@ def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     import numpy as np
 
     vt, pt = make_eval_tables(model, params, shared)
-
-    @jax.jit
-    def step(p, sh, b):
-        mi = assemble(sh, b, pt)
-        out = model.apply(p, sh, mi, train=False, vocab_table=vt)
-        return (jax.nn.softmax(out.logits), out.attention.time_attn,
-                out.attention.seq_attn)
+    step = _functools.partial(_attn_dump_step_jit, canonical_model(model),
+                              vt=vt, pt=pt)
 
     rows = {"qid": [], "pred": [], "label": [], "probs": [],
             "time_attn": [], "seq_attn": []}
@@ -425,7 +476,8 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     first = device_put_batch(next(iter(ds.get_batches(cfg.train.eval_batch_size))))
     state = init_state(cfg, model, shared, first)
     ckpt = CheckpointManager(out_dir, cfg)
-    state = ckpt.restore(state, best=load_best)
+    # same canonical placement as run_train (jit-key stability across paths)
+    state = jax.device_put(ckpt.restore(state, best=load_best), jax.devices()[0])
     timer = Timer()
     timer.start()
     if album_cache:

@@ -30,22 +30,24 @@ def cfg_for(packed, num_epochs, val_period=1000, save_period=6):
 
 class TestFaultInjection:
     def test_killed_run_resumes_bit_identically(self, packed_synth, tmp_path):
-        """Uninterrupted 2-epoch run vs (killed MID-epoch-2 → resumed):
-        final params must match bit for bit. Exercises mid-epoch data-stream
-        positioning, optimizer state, and dropout-RNG restoration together.
-        (2 epochs is the minimum that kills mid-epoch AND resumes across the
-        remaining batches of that epoch; was 3 — round-3 wall-clock cut.)"""
+        """Uninterrupted 1-epoch run vs (killed MID-epoch → resumed): final
+        params must match bit for bit. Exercises mid-epoch data-stream
+        positioning, optimizer state, and dropout-RNG restoration together —
+        the suite's always-on exact-resume gate (CLAUDE.md invariant). The
+        EPOCH-CROSSING variant (kill inside epoch 2, so the resumed process
+        must also reconstruct a later epoch's shuffle state) runs below under
+        FVTA_RUN_SLOW — round-3 wall-clock split."""
         straight = str(tmp_path / "straight")
         killed = str(tmp_path / "killed")
-        cfg3 = cfg_for(packed_synth, num_epochs=2)
+        cfg1 = cfg_for(packed_synth, num_epochs=1, save_period=2)
 
-        res_a = run_train(cfg3, packed_synth, straight, echo=False)
+        res_a = run_train(cfg1, packed_synth, straight, echo=False)
 
         # "kill" mid-epoch: train split has ceil(16/4)=4 batches/epoch; stop at
-        # step 6 = epoch 1, batch 2 (save_period=6 guarantees a ckpt at step 6)
-        res_k1 = run_train(cfg3, packed_synth, killed, num_steps=6, echo=False)
-        assert res_k1["steps"] == 6
-        res_k2 = run_train(cfg3, packed_synth, killed, echo=False)
+        # step 2 (save_period=2 guarantees a ckpt there), resume runs 3..4
+        res_k1 = run_train(cfg1, packed_synth, killed, num_steps=2, echo=False)
+        assert res_k1["steps"] == 2
+        res_k2 = run_train(cfg1, packed_synth, killed, echo=False)
 
         assert res_k2["steps"] == res_a["steps"]
         for a, b in zip(jax.tree.leaves(res_a["state"].params),
@@ -54,6 +56,28 @@ class TestFaultInjection:
         # optimizer state too
         for a, b in zip(jax.tree.leaves(res_a["state"].opt_state),
                         jax.tree.leaves(res_k2["state"].opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.skipif(not os.environ.get("FVTA_RUN_SLOW"),
+                        reason="epoch-crossing resume ~70s; the mid-epoch "
+                               "bitwise gate above always runs "
+                               "(FVTA_RUN_SLOW=1 to include)")
+    def test_killed_run_resumes_across_epoch_boundary(self, packed_synth,
+                                                      tmp_path):
+        """Kill inside epoch 2 (step 6 of 8): the resumed process must rebuild
+        epoch 2's shuffle order and position, not just the step counter."""
+        straight = str(tmp_path / "straight")
+        killed = str(tmp_path / "killed")
+        cfg2 = cfg_for(packed_synth, num_epochs=2)
+
+        res_a = run_train(cfg2, packed_synth, straight, echo=False)
+        res_k1 = run_train(cfg2, packed_synth, killed, num_steps=6, echo=False)
+        assert res_k1["steps"] == 6
+        res_k2 = run_train(cfg2, packed_synth, killed, echo=False)
+
+        assert res_k2["steps"] == res_a["steps"]
+        for a, b in zip(jax.tree.leaves(res_a["state"].params),
+                        jax.tree.leaves(res_k2["state"].params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
