@@ -12,6 +12,7 @@ Methodology recorded in BASELINE.md.
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass
 
@@ -458,15 +459,26 @@ def bench_video(t_frames: int, use_pallas: bool, batch_size: int = 8,
             k_large = min(max_k, int(k_large * max(
                 2.0, 1.5 * min_signal_s / max(sig, 1e-3))))
         per = _median_slope(run, k_small, k_large, reps)
+        if per <= 0:
+            # sub-noise-floor signal can make run(k_large) measure FASTER than
+            # run(k_small); a non-positive slope is garbage, never a reading
+            # (it would also pass the MFU cap below as a negative MFU)
+            print(f"bench_video t={t_frames} pallas={use_pallas}: non-positive "
+                  f"slope ({per:.3e}s), re-measuring with larger K",
+                  file=sys.stderr, flush=True)
+            min_signal_s *= 2.0
+            continue
         fps = batch_size * t_frames / per
         if flops_per_step is None or peak_flops is None:
             return fps
         implied_mfu = flops_per_step / (per * peak_flops)
         if implied_mfu <= mfu_cap:
             return fps
+        # stderr: bench.py's stdout contract is exactly ONE JSON line
         print(f"bench_video t={t_frames} pallas={use_pallas}: rejected "
               f"{fps:.3e} frames/s (implied MFU {implied_mfu*100:.0f}% > "
-              f"{mfu_cap*100:.0f}%), re-measuring with larger K", flush=True)
+              f"{mfu_cap*100:.0f}%), re-measuring with larger K",
+              file=sys.stderr, flush=True)
         min_signal_s *= 2.0
     return None
 

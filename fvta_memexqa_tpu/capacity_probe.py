@@ -98,12 +98,19 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
             except Exception as e:
                 # OOM surfaces in several shapes (RESOURCE_EXHAUSTED, the
                 # buffer-assignment dump "Attempting to reserve/allocate",
-                # "exceeds the ... memory capacity"); match broadly, re-raise
-                # anything that isn't memory-related
+                # "exceeds the ... memory capacity"). Bare "exceeds"/"allocat"
+                # also appear in NON-memory compiler errors (operand-count
+                # limits, semaphore allocation) — recording those as the
+                # path's capacity limit would publish an understated measured
+                # number, so those substrings only count next to "memory".
                 msg = str(e).lower()
-                if not any(k in msg for k in
-                           ("resource_exhausted", "out of memory", "oom",
-                            "memory capacity", "exceeds", "allocat")):
+                memory_oom = (
+                    any(k in msg for k in
+                        ("resource_exhausted", "out of memory", "oom",
+                         "memory capacity"))
+                    or (("exceeds" in msg or "allocat" in msg)
+                        and "memory" in msg))
+                if not memory_oom:
                     raise
                 first_oom = t
                 print(f"[{name}] T={t}: OOM ({type(e).__name__})", flush=True)

@@ -88,6 +88,18 @@ class ModelConfig:
     dtype: str = "float32"       # compute dtype for encoders/attention ("bfloat16" on TPU)
     forget_bias: float = 1.0     # TF1 BasicLSTMCell forget-gate bias (parity-critical)
 
+    def __post_init__(self):
+        # the dtype dispatch compares against the exact string "bfloat16";
+        # any other spelling ("bf16", "half") would SILENTLY select fp32 —
+        # the user would benchmark fp32 believing they measured bf16
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown dtype {self.dtype!r}: use 'float32' "
+                             "or 'bfloat16'")
+        if self.attention not in ("fvta", "flat", "none"):
+            raise ValueError(f"unknown attention {self.attention!r}")
+        if self.similarity not in ("trilinear", "dot", "bilinear"):
+            raise ValueError(f"unknown similarity {self.similarity!r}")
+
 
 @dataclass(frozen=True)
 class TrainConfig:

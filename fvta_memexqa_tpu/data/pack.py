@@ -175,6 +175,16 @@ def split_qas(
     if val_ids is not None:
         val = [q for q in rest if q.question_id in val_ids]
         train = [q for q in rest if q.question_id not in val_ids]
+        if len(val) < len(val_ids):
+            # a typo'd/stale --val-ids file must not silently shrink val:
+            # an empty val means best-on-val is never recorded and `test`
+            # quietly evaluates the latest checkpoint instead of the best
+            import sys
+
+            missing = len(val_ids) - len(val)
+            print(f"[pack] WARNING: {missing}/{len(val_ids)} --val-ids not "
+                  "found among non-test questions (unknown ids, or ids "
+                  "claimed by the test split)", file=sys.stderr)
         return {"train": train, "val": val, "test": test}
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(rest))

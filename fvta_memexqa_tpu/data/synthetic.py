@@ -167,7 +167,8 @@ def make_focal_synthetic(
       albums) at the evidence position.
 
     The ablation ordering (fvta > flat by a wide margin here; flat >= fvta on
-    the derivable corpus) is gated by tests/test_ablate_focal.py.
+    the derivable corpus) is gated by
+    tests/test_slow_regression.py::test_focal_corpus_fvta_beats_flat.
     """
     rng = np.random.default_rng(seed)
     albums: dict[str, Album] = {}
@@ -215,8 +216,11 @@ def make_focal_synthetic(
         # say" — the DECOY text is the answer channel, so decoy modalities
         # cannot be suppressed wholesale and any gating must be question-
         # conditioned (that's what makes the focal kind hard for flat);
-        # 3: where; 4: year.
-        kind = qi % 5
+        # 3: where; 4: year. The sweep offset (qi // num_albums) decouples
+        # kind from the album cycle: bare qi % 5 locks every album to ONE
+        # kind whenever 5 divides num_albums (e.g. the recorded 240-album
+        # corpus), defeating the within-album kind mixing argued above.
+        kind = (qi + qi // num_albums) % 5
         if kind <= 1:
             question = f"what did we photograph on the {name} trip ?"
             answer = obj

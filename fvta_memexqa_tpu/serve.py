@@ -238,7 +238,6 @@ class AlbumStore:
         if not ids:
             return 0
         self._pack_rows = {aid: i + 1 for i, aid in enumerate(ids)}
-        from fvta_memexqa_tpu.data.device_prepro import assemble
         from fvta_memexqa_tpu.train import make_photo_table
 
         # frozen-param photo fast path: one contiguous-row gather per album
@@ -248,13 +247,15 @@ class AlbumStore:
             **{**self.cfg.data.__dict__, "max_albums": 1}))
         a1_model = FVTAModel(cfg=self._a1_cfg)
 
-        @jax.jit
-        def encode_rows(p, sh, b, vt, pt):
-            mi = assemble(sh, b, pt)
-            return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
-                                  method=a1_model.encode_context)
+        # shared module-level jit (eval_cache): one encode_context trace per
+        # model config process-wide, instead of a fresh closure per AlbumStore
+        import functools
 
-        self._encode_rows = encode_rows
+        from fvta_memexqa_tpu.eval_cache import _encode_album_jit
+        from fvta_memexqa_tpu.train import canonical_model
+
+        self._encode_rows = functools.partial(_encode_album_jit,
+                                              canonical_model(a1_model))
         return len(ids)
 
     def _encode_pack_rows(self, rows: np.ndarray):
@@ -680,6 +681,12 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 
     from fvta_memexqa_tpu.data.schema import parse_album_info
 
+    if bool(tls_cert) != bool(tls_key):
+        # half-specified TLS must be a startup error, never a silent fallback
+        # to plaintext: auth tokens may only transit inside TLS (DESIGN.md
+        # "Serving security"). Checked up front, before any serving state.
+        raise ValueError("--tls-cert and --tls-key must be given together "
+                         f"(got cert={tls_cert!r}, key={tls_key!r})")
     limiter = RateLimiter(max_requests_per_sec, max_rps_per_client)
     auth_tokens = ([t for t in auth_token.split(",") if t]
                    if auth_token else [])

@@ -148,7 +148,11 @@ class TestPack:
             album = albums[q.album_ids[0]]
             text = " ".join([album.title, album.description, album.where,
                              album.when, *album.photo_titles])
-            if qi % 5 <= 1:  # focal kind: answer only in photo FEATURES
+            # focal kind identified by TEXT (the kind index mixes album and
+            # sweep position — see make_focal_synthetic's kind comment)
+            is_focal = (q.question.startswith("what did we photograph")
+                        and "album say" not in q.question)
+            if is_focal:  # answer only in photo FEATURES
                 assert q.answer not in text.split()
                 n_focal += 1
                 if any(c in album.description.split() for c in q.choices

@@ -87,3 +87,29 @@ def test_debug_nans_flag(monkeypatch):
         check_finite_loss(float("nan"), step=7)
     with pytest.raises(FloatingPointError):
         check_finite_loss(float("inf"), step=8)
+
+
+def test_model_config_rejects_unknown_enums():
+    """Silent-fp32 footgun: --dtype bf16 must error, not quietly select f32
+    (same for attention/similarity misspellings)."""
+    from fvta_memexqa_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="dtype"):
+        ModelConfig(dtype="bf16")
+    with pytest.raises(ValueError, match="attention"):
+        ModelConfig(attention="focal")
+    with pytest.raises(ValueError, match="similarity"):
+        ModelConfig(similarity="cosine")
+    ModelConfig(dtype="bfloat16")  # the valid spellings still construct
+    ModelConfig(dtype="float32")
+
+
+def test_serve_http_rejects_half_tls():
+    """--tls-cert without --tls-key (or vice versa) must be a startup error,
+    never a silent plaintext listener (DESIGN.md 'Serving security')."""
+    from fvta_memexqa_tpu.serve import serve_http
+
+    with pytest.raises(ValueError, match="tls-cert and --tls-key"):
+        serve_http(None, None, {}, tls_cert="cert.pem")
+    with pytest.raises(ValueError, match="tls-cert and --tls-key"):
+        serve_http(None, None, {}, tls_key="key.pem")
