@@ -194,6 +194,176 @@ def _stats_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
         eq_ref[0, 0] = qmx[:][0]
 
 
+def _qcnt_kernel(h_ref, cm_ref, q_ref, wx_ref, wy_ref, wxy_ref, eq_ref,
+                 qcnt_ref, acc, *, num_tblocks: int):
+    """Backward pre-pass: global tie counts for the question-side max.
+
+    eq[j] = max over (s, t) of the ctx-masked correlation; its VJP splits the
+    cotangent EVENLY among tied positions (JAX reduce_max semantics), and ties
+    can span time blocks (every fully-masked position is exactly -1e30), so the
+    denominator must be counted over the whole T axis before distributing."""
+    tb_i = pl.program_id(1)
+    s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    j = q_ref.shape[1]
+
+    @pl.when(tb_i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = h_ref[0]
+    cm = cm_ref[0]
+    q = q_ref[0]
+    hf = h.reshape(s * tb, d)
+    c = jax.lax.dot_general(hf * wxy_ref[0], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).reshape(s, tb, j)
+    sx = jnp.sum(h * wx_ref[0], axis=-1, keepdims=True)
+    sy = jnp.sum(q * wy_ref[0], axis=-1, keepdims=True).T.reshape(1, 1, j)
+    c = c + sx + sy
+    c_smasked = c + (1.0 - cm[:, :, None]) * NEG
+    tie = (c_smasked == eq_ref[0].reshape(1, 1, j)).astype(jnp.float32)
+    acc[:] = acc[:] + jnp.sum(tie, axis=(0, 1)).reshape(1, j)
+
+    @pl.when(tb_i == num_tblocks - 1)
+    def _emit():
+        qcnt_ref[0] = acc[:]
+
+
+def _bwd_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
+                de_ref, geq_ref, eq_ref, qcnt_ref,
+                dh_ref, dq_ref, dwx_ref, dwy_ref, dwxy_ref,
+                dq_acc, dwx_acc, dwy_acc, dwxy_acc, *, num_tblocks: int):
+    """Streaming stats backward: recomputes the block's correlation (flash-style
+    rematerialization), routes the time-score cotangent `de` through the
+    question-word max (tie-split, block-local) and the question-side cotangent
+    `geq` through the (s, t) max (tie-split by the pre-counted global qcnt),
+    then turns dC into dh (streamed per block) and dq/dw* (VMEM accumulators,
+    emitted per example on the last block). O(Tb) VMEM — long-T training no
+    longer materializes the [N, S, T, J] correlation the XLA-remat VJP needs."""
+    tb_i = pl.program_id(1)
+    s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
+    j = q_ref.shape[1]
+
+    @pl.when(tb_i == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        dwx_acc[:] = jnp.zeros_like(dwx_acc)
+        dwy_acc[:] = jnp.zeros_like(dwy_acc)
+        dwxy_acc[:] = jnp.zeros_like(dwxy_acc)
+
+    h = h_ref[0]                                    # [S, Tb, D]
+    cm = cm_ref[0]                                  # [S, Tb]
+    q = q_ref[0]                                    # [J, D]
+    qm = qm_ref[0]                                  # [1, J]
+    de = de_ref[0]                                  # [S, Tb]
+
+    hf = h.reshape(s * tb, d)
+    c = jax.lax.dot_general(hf * wxy_ref[0], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).reshape(s, tb, j)
+    sx = jnp.sum(h * wx_ref[0], axis=-1, keepdims=True)
+    sy = jnp.sum(q * wy_ref[0], axis=-1, keepdims=True).T.reshape(1, 1, j)
+    c = c + sx + sy
+
+    # de routed through e = max_j(C + qmask): even split among the block-local
+    # tie set (self-consistent: tie mask and max from the SAME recomputed C).
+    cq = c + (1.0 - qm.reshape(1, 1, j)) * NEG
+    e_pre = jnp.max(cq, axis=-1, keepdims=True)     # [S, Tb, 1]
+    tie_j = (cq == e_pre).astype(jnp.float32)
+    dc = tie_j * (de[:, :, None] / jnp.sum(tie_j, axis=-1, keepdims=True))
+
+    # geq routed through eq = max_{s,t}(C + cmask): global tie count (qcnt).
+    c_smasked = c + (1.0 - cm[:, :, None]) * NEG
+    tie_q = (c_smasked == eq_ref[0].reshape(1, 1, j)).astype(jnp.float32)
+    dc = dc + tie_q * (geq_ref[0] / jnp.maximum(qcnt_ref[0], 1.0)).reshape(1, 1, j)
+
+    # dC -> input/param grads (trilinear: C = <wx,h> + <wy,q> + (h*wxy)·q)
+    dcf = dc.reshape(s * tb, j)
+    ones_st = jnp.ones((s * tb, 1), jnp.float32)
+    rowsum = jnp.sum(dcf, axis=-1, keepdims=True)                        # [S*Tb, 1]
+    colsum = jax.lax.dot_general(dcf, ones_st, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)     # [J, 1]
+    dh = jax.lax.dot_general(dcf, q * wxy_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = dh + rowsum * wx_ref[0]
+    dh_ref[0] = dh.reshape(s, tb, d)
+    tmp = jax.lax.dot_general(dcf, hf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)        # [J, D]
+    dq_acc[:] = dq_acc[:] + tmp * wxy_ref[0] + colsum * wy_ref[0]
+    dwx_acc[:] = dwx_acc[:] + jax.lax.dot_general(
+        rowsum, hf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwy_acc[:] = dwy_acc[:] + jax.lax.dot_general(
+        colsum, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwxy_acc[:] = dwxy_acc[:] + jnp.sum(tmp * q, axis=0, keepdims=True)
+
+    @pl.when(tb_i == num_tblocks - 1)
+    def _emit():
+        dq_ref[0] = dq_acc[:]
+        dwx_ref[0] = dwx_acc[:]
+        dwy_ref[0] = dwy_acc[:]
+        dwxy_ref[0] = dwxy_acc[:]
+
+
+def _fvta_bwd_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq,
+                          tblock: int, interpret: bool):
+    n, s, t, d = h.shape
+    j = q.shape[1]
+    nt = t // tblock
+    common_in = [
+        pl.BlockSpec((1, s, tblock, d), lambda ni, ti: (ni, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, j, d), lambda ni, ti: (ni, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    w_in = [pl.BlockSpec((1, d), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM)] * 3
+    nj_in = pl.BlockSpec((1, 1, j), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qcnt = pl.pallas_call(
+        functools.partial(_qcnt_kernel, num_tblocks=nt),
+        grid=(n, nt),
+        in_specs=common_in + w_in + [nj_in],
+        out_specs=nj_in,
+        out_shape=jax.ShapeDtypeStruct((n, 1, j), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, j), jnp.float32)],
+        interpret=interpret,
+    )(h, cm_f, q, wx, wy, wxy, eq)
+    dh, dq, dwx, dwy, dwxy = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_tblocks=nt),
+        grid=(n, nt),
+        in_specs=common_in + [nj_in] + w_in + [
+            pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM),          # de
+            nj_in, nj_in, nj_in,                            # geq, eq, qcnt
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, tblock, d), lambda ni, ti: (ni, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, s, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, j, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((j, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq, qcnt)
+    return dh, dq, dwx[:, 0], dwy[:, 0], dwxy[:, 0]
+
+
 def _fvta_stats_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, tblock: int,
                             interpret: bool):
     n, s, t, d = h.shape
@@ -331,8 +501,8 @@ def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: d
         # finalizing in XLA keeps one fused pass over the correlation and
         # scales T to the HBM limit: measured 2x the XLA path's largest T at
         # J=512 (BASELINE.md capacity table). Differentiable via the stats
-        # custom_vjp; long-T *backward* belongs to CP (the rematerialized
-        # bwd builds the local correlation, like any XLA backward would).
+        # custom_vjp, which at this block count uses the streaming Pallas
+        # backward (_bwd_kernel) — training stays O(Tb)-VMEM too.
         m, den, v, eq, e = fvta_stats_pallas(h, ctx_mask, q, q_mask, similarity,
                                              sim_params, tblock=tb,
                                              interpret=interpret)
@@ -439,21 +609,71 @@ def _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
 
 def _stats_fwd(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret):
     out = _stats_fwd_impl(h, cm_f, q, qm_f, wx, wy, wxy, tblock, interpret)
-    return out, (h, cm_f, q, qm_f, wx, wy, wxy)
+    m, den, v, eq, e = out
+    # m/eq/e feed the streaming backward (den/v are re-derivable from e and m:
+    # p = exp(e - m) is bitwise what the XLA VJP would have saved, since e and m
+    # are the exact masked scores / running maxes the kernel emitted).
+    return out, (h, cm_f, q, qm_f, wx, wy, wxy, m, eq, e)
 
 
 def _stats_bwd(tblock, interpret, res, g):
     # res holds _stats_core's own (unpadded) arguments; the S>=8 padding is
     # internal to _stats_fwd_impl, so shapes here match the primal exactly.
-    h, cm_f, q, qm_f, wx, wy, wxy = res
+    h, cm_f, q, qm_f, wx, wy, wxy, m, eq, e = res
+    n, s, t, d = h.shape
+    j = q.shape[1]
+    s_pad = max(s, 8)
+    tb_fwd = tblock or _pick_tblock(t, s=s_pad, j=j)
+    if t // tb_fwd <= _FINALIZE_MAX_BLOCKS:
+        # Short T (the CP-engine regime): the XLA-remat VJP materializes only a
+        # modest [N, S, T, J] correlation and is cheaper than two kernel passes.
+        def ref(h_, q_, wx_, wy_, wxy_):
+            return focal_local_stats(h_, cm_f > 0.5, q_, qm_f > 0.5, "trilinear",
+                                     {"w_x": wx_, "w_y": wy_, "w_xy": wxy_})
 
-    def ref(h_, q_, wx_, wy_, wxy_):
-        return focal_local_stats(h_, cm_f > 0.5, q_, qm_f > 0.5, "trilinear",
-                                 {"w_x": wx_, "w_y": wy_, "w_xy": wxy_})
+        _, vjp = jax.vjp(ref, h, q, wx, wy, wxy)
+        dh, dq, dwx, dwy, dwxy = vjp(g)
+        return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f),
+                dwx, dwy, dwxy)
 
-    _, vjp = jax.vjp(ref, h, q, wx, wy, wxy)
-    dh, dq, dwx, dwy, dwxy = vjp(g)
-    return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f), dwx, dwy, dwxy)
+    # Long-T streaming backward. Everything EXCEPT the correlation routing is
+    # computable in XLA from the saved outputs with O(S*T) memory:
+    #   p      = exp(e - m)                      (the time-softmax numerators)
+    #   dp     = d(den)/de + d(v)/de             (gden + <gv, h_t>)
+    #   dm_tot = gm - sum_t p*dp                 (m's total cotangent)
+    #   de     = ge + p*dp + tie_m * dm_tot/cnt  (reduce_max's even tie split)
+    # Only dC = route(de through max_j, geq through max_st) needs the
+    # correlation itself — rematerialized blockwise by the Pallas kernels.
+    gm, gden, gv, geq, ge = g
+    if interpret is None:
+        interpret = not _on_tpu()
+    p = jnp.exp(e - m[..., None])
+    dp = gden[..., None] + jnp.einsum("nsd,nstd->nst", gv, h)
+    dm_tot = gm - jnp.sum(p * dp, axis=-1)
+    tie_m = (e == m[..., None]).astype(e.dtype)
+    cnt_m = jnp.sum(tie_m, axis=-1, keepdims=True)
+    de = ge + p * dp + tie_m * (dm_tot[..., None] / cnt_m)
+    dh_direct = p[..., None] * gv[:, :, None, :]
+
+    hk, cmk, dek = h, cm_f, de
+    if s_pad != s:
+        hk = jnp.pad(hk, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        # pad rows get cm = -1.0: their masked correlation lands at -2e30,
+        # which can never tie with a real eq (>= -1e30) — keeping qcnt and the
+        # routed gradients identical to the unpadded reference even in the
+        # degenerate all-masked-example case (where every real position ties).
+        cmk = jnp.pad(cmk, ((0, 0), (0, s_pad - s), (0, 0)),
+                      constant_values=-1.0)
+        dek = jnp.pad(dek, ((0, 0), (0, s_pad - s), (0, 0)))
+    # tighter block budget than the forward: the backward keeps ~4-6 live
+    # [S, Tb, J] temporaries (c, masked forms, tie masks, dC) vs the forward's ~3
+    tb = _pick_tblock(t, s=s_pad, j=j, c_budget_bytes=1 << 20)
+    dh_k, dq, dwx_n, dwy_n, dwxy_n = _fvta_bwd_pallas_call(
+        hk, cmk, q, qm_f[:, None, :], wx[None], wy[None], wxy[None],
+        dek, geq[:, None, :], eq[:, None, :], tb, interpret)
+    dh = dh_direct + dh_k[:, :s]
+    return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f),
+            dwx_n.sum(0), dwy_n.sum(0), dwxy_n.sum(0))
 
 
 _stats_core.defvjp(_stats_fwd, _stats_bwd)

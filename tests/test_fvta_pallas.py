@@ -235,6 +235,76 @@ class TestFVTAStreamingDispatch:
         assert 4096 % _pick_tblock(4096, s=8, j=512) == 0
 
 
+class TestFVTAStreamingBackward:
+    """Long-T streaming BACKWARD (the fused stats backward kernels): when the
+    block count exceeds _FINALIZE_MAX_BLOCKS the stats custom_vjp routes dC
+    blockwise through two Pallas passes (global tie-count, then gradient)
+    instead of rematerializing the full [N, S, T, J] correlation in XLA —
+    training at long T gets the same O(Tb)-VMEM property as inference.
+    Gradients must match the XLA reference exactly-ish (f32), INCLUDING the
+    even tie-splitting of reduce_max in the degenerate all-masked cases."""
+
+    @staticmethod
+    def _grads(fn, h, cm, q, qm, p):
+        def loss(h_, q_, p_):
+            m, den, v, eq, e = fn(h_, cm, q_, qm, "trilinear", p_)
+            return ((v**2).sum() + jnp.log(den).sum() + (eq * 0.1).sum()
+                    + (m * 0.03).sum() + jnp.where(cm, e, 0.0).sum() * 1e-3)
+        return jax.grad(loss, argnums=(0, 1, 2))(h, q, p)
+
+    def _check(self, h, cm, q, qm, p, tblock=2):
+        from fvta_memexqa_tpu.ops import fvta_pallas as fp
+        from fvta_memexqa_tpu.ops.fvta_pallas import fvta_stats_pallas
+        from fvta_memexqa_tpu.ops.fvta_ref import focal_local_stats
+
+        assert h.shape[2] // tblock > fp._FINALIZE_MAX_BLOCKS  # streaming bwd
+        g_p = self._grads(
+            lambda h_, c_, q_, qm_, k, p_: fvta_stats_pallas(
+                h_, c_, q_, qm_, k, p_, tblock=tblock),
+            h, cm, q, qm, p)
+        g_r = self._grads(focal_local_stats, h, cm, q, qm, p)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("seed", [0, 20])
+    def test_grads_match_ref(self, seed):
+        self._check(*make_case(t=64, seed=seed))
+
+    def test_thin_s_padded(self):
+        """S < 8 pads inside the backward too; pad rows carry no gradient."""
+        self._check(*make_case(s=2, t=64, seed=20))
+
+    def test_dead_sequence(self):
+        h, cm, q, qm, p = make_case(t=64, seed=21)
+        cm = np.asarray(cm).copy()
+        cm[:, 0, :] = False
+        self._check(h, jnp.asarray(cm), q, qm, p)
+
+    def test_all_masked_example_global_ties(self):
+        """Fully-masked example: eq = -1e30 with ties across EVERY (s, t) —
+        the cross-block tie count must split geq evenly like jnp.max's VJP."""
+        h, cm, q, qm, p = make_case(t=64, seed=22)
+        cm = np.asarray(cm).copy()
+        cm[0, :, :] = False
+        self._check(h, jnp.asarray(cm), q, qm, p)
+
+    def test_all_masked_example_thin_s(self):
+        """Degenerate ties AND S-padding: the pad rows' cm = -1 sentinel keeps
+        them out of the tie set (their masked scores land at -2e30)."""
+        h, cm, q, qm, p = make_case(s=2, t=64, seed=23)
+        cm = np.asarray(cm).copy()
+        cm[0, :, :] = False
+        self._check(h, jnp.asarray(cm), q, qm, p)
+
+    def test_all_masked_question(self):
+        """All question words masked: de splits evenly over J in both impls."""
+        h, cm, q, qm, p = make_case(t=64, seed=24)
+        qm = np.asarray(qm).copy()
+        qm[0, :] = False
+        self._check(h, cm, q, jnp.asarray(qm), p)
+
+
 class TestFVTAPallasGrad:
     def test_grads_match_ref(self):
         h, cm, q, qm, p = make_case(seed=8)
