@@ -46,9 +46,13 @@ def _attention_fn(use_pallas: bool, similarity: str = "trilinear"):
 
 
 def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int,
-              s: int = 8) -> None:
+              s: int = 8, grad: bool = False) -> None:
     """One encoder-output-shaped attention forward at context length t, inputs
-    minted on device. Raises on OOM.
+    minted on device. Raises on OOM. grad=True runs a full backward instead
+    (d(loss)/d(h, q, params)) — the training-capacity probe: the XLA VJP
+    materializes the [N, S, T, J] correlation plus its backward intermediates,
+    while the fused path's streaming backward (ops/fvta_pallas._bwd_kernel)
+    rematerializes it blockwise and streams only dh.
 
     s >= 8 is REQUIRED to probe the fused kernel: fvta_attention_pallas
     dispatches thin-S shapes to the XLA path (its S-padding cost rule), so an
@@ -74,7 +78,14 @@ def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int,
         qm = jnp.ones((batch, j), bool)
         params = {"w_x": jnp.full((d,), 0.1), "w_y": jnp.full((d,), 0.1),
                   "w_xy": jnp.full((d,), 0.1)}
-        return _attention_fn(use_pallas)(h, cm, q, qm, params).sum()
+        fn = _attention_fn(use_pallas)
+        if grad:
+            dh, dq, dp = jax.grad(
+                lambda h_, q_, p_: fn(h_, cm, q_, qm, p_).sum(),
+                argnums=(0, 1, 2))(h, q, params)
+            # reduce on device: only scalars cross the tunnel
+            return dh.sum() + dq.sum() + sum(v.sum() for v in dp.values())
+        return fn(h, cm, q, qm, params).sum()
 
     import numpy as np
 
@@ -82,7 +93,8 @@ def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int,
 
 
 def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
-                    t_start: int = 1 << 14, t_cap: int = 1 << 22) -> dict:
+                    t_start: int = 1 << 14, t_cap: int = 1 << 22,
+                    grad: bool = False) -> dict:
     """Doubling search: largest T that runs / first T that OOMs, per path."""
     results = {}
     for use_pallas in (False, True):
@@ -91,7 +103,7 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
         t = t_start
         while t <= t_cap:
             try:
-                _run_at_t(t, use_pallas, batch, j, d, s)
+                _run_at_t(t, use_pallas, batch, j, d, s, grad=grad)
                 last_ok = t
                 print(f"[{name}] T={t}: ok", flush=True)
                 t *= 2
@@ -116,7 +128,7 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
                 print(f"[{name}] T={t}: OOM ({type(e).__name__})", flush=True)
                 break
         results[name] = {"last_ok_t": last_ok, "first_oom_t": first_oom}
-    return {"batch": batch, "j": j, "d": d, **results}
+    return {"batch": batch, "j": j, "d": d, "grad": grad, **results}
 
 
 def cp_memory_table(t: int = 65536, batch: int = 2, j: int = 30, d: int = 200,
@@ -170,11 +182,15 @@ def main(argv=None):
                    help="modality/sequence axis; >=8 or the fused kernel "
                         "dispatches to XLA and the probe measures XLA twice")
     p.add_argument("--t-start", type=int, default=1 << 14)
+    p.add_argument("--grad", action="store_true",
+                   help="probe a full backward (training capacity) instead of "
+                        "the forward")
     args = p.parse_args(sys.argv[1:] if argv is None else argv)
     out = {}
     if not args.cp_only:
         out["largest_t"] = probe_largest_t(batch=args.batch, j=args.j, d=args.d,
-                                           s=args.s, t_start=args.t_start)
+                                           s=args.s, t_start=args.t_start,
+                                           grad=args.grad)
     if len(jax.devices()) >= 8:
         out["cp_memory"] = cp_memory_table()
     else:

@@ -41,3 +41,15 @@ def test_cp_memory_table_reports_reduction():
     cp = out["cp_per_device"]
     assert local["argument_mb"] > cp["argument_mb"] * 4  # ~8x measured on 8 devices
     assert local["temp_mb"] > cp["temp_mb"] * 2
+
+
+def test_grad_probe_both_paths_run_small_t():
+    """Training-capacity probe (--grad): both paths' backwards execute; T is
+    chosen so the fused path's block count exceeds _FINALIZE_MAX_BLOCKS and
+    the STREAMING backward kernels (not the XLA remat) are what runs."""
+    import fvta_memexqa_tpu.ops.fvta_pallas as fp
+
+    t, d = 8192, 16  # j=512 caps tblock via the VMEM budget -> nt > 16
+    assert t // fp._pick_tblock(t, s=8, j=512) > fp._FINALIZE_MAX_BLOCKS
+    _run_at_t(t, use_pallas=False, batch=1, j=512, d=d, s=8, grad=True)
+    _run_at_t(t, use_pallas=True, batch=1, j=512, d=d, s=8, grad=True)
