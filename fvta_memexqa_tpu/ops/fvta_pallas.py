@@ -483,16 +483,24 @@ def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: d
     reference path (a [D, D] kernel matmul inside the kernel is not worth fusing).
     """
     d = h.shape[-1]
-    # Dispatch: the fused kernel wins when the modality axis is wide (MemexQA:
-    # S = albums x 6). For thin-S long-sequence shapes (TGIF-style S<8) the S-padding
-    # required by Mosaic sublane rules costs more than the fusion saves and the XLA
-    # path is already memory-linear in T, so use it there.
-    if similarity not in ("trilinear", "dot") or h.shape[1] < 8:
+    if similarity not in ("trilinear", "dot"):
         c = similarity_tensor(h, q, similarity, sim_params)
         return fvta_attention(h, ctx_mask, q, q_mask, c)
     t, s = h.shape[2], h.shape[1]
-    tb = tblock or _pick_tblock(t, s=s, j=q.shape[1])
-    if t // tb > _FINALIZE_MAX_BLOCKS:
+    tb = tblock or _pick_tblock(t, s=max(s, 8), j=q.shape[1])
+    streaming = t // tb > _FINALIZE_MAX_BLOCKS
+    # Dispatch: the fused kernel wins when the modality axis is wide (MemexQA:
+    # S = albums x 6). For thin-S SHORT-sequence shapes (TGIF-style S<8) the
+    # S-padding required by Mosaic sublane rules costs more than the fusion
+    # saves and the XLA path is memory-cheap, so use it there. At thin-S
+    # LONG T the calculus flips: the XLA path's [N, S, T, J] correlation is
+    # the capacity limit and the streaming stats path (which pads S
+    # internally) keeps VMEM at O(Tb) and HBM linear in T — so thin-S shapes
+    # stream too once past the block-count threshold.
+    if s < 8 and not streaming:
+        c = similarity_tensor(h, q, similarity, sim_params)
+        return fvta_attention(h, ctx_mask, q, q_mask, c)
+    if streaming:
         # Long-T streaming form: the finalizing kernel buffers EVERY block's
         # raw scores in VMEM (e_buf is O(S*T)) and unrolls its finalize over
         # the block count — measured to stop compiling near nt~256 on the v5

@@ -225,6 +225,29 @@ class TestFVTAStreamingDispatch:
         out = focal_finalize(m, den, v, eq, e, q, qm, cm.any(-1))
         assert_close(out, ref_out(h, cm, q, qm, p))
 
+    def test_thin_s_long_t_streams(self):
+        """TGIF-style thin S at LONG T must take the streaming path through
+        the PUBLIC entry (stats mode S-pads internally) — the XLA fallback's
+        [N, S, T, J] correlation is exactly the long-T capacity limit the
+        streaming form exists to remove. Forward and grads match the ref."""
+        h, cm, q, qm, p = make_case(s=2, t=64, seed=30)
+        assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=2),
+                     ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-5)
+
+        def loss(fn):
+            def f(h_, q_, p_):
+                o = fn(h_, q_, p_)
+                return (o.context**2).sum() + (o.question**2).sum()
+            return f
+
+        g_p = jax.grad(loss(lambda h_, q_, p_: fvta_attention_pallas(
+            h_, cm, q_, qm, "trilinear", p_, tblock=2)), argnums=(0, 1, 2))(h, q, p)
+        g_r = jax.grad(loss(lambda h_, q_, p_: ref_out(h_, cm, q_, qm, p_)),
+                       argnums=(0, 1, 2))(h, q, p)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_pick_tblock_vmem_budget(self):
         """Long-question shapes must shrink the time block: 8*512*512 f32
         correlation temporaries exceed the measured VMEM budget at Tb=512."""
