@@ -91,8 +91,10 @@ class TestBf16Model:
         cfg16 = small_config.replace(
             model=dataclasses.replace(small_config.model, dtype="bfloat16"))
         model = FVTAModel(cfg=cfg16)
-        params = model.init(jax.random.key(0), shared, mi, train=False)
-        lg = np.asarray(model.apply(params, shared, mi, train=False).logits)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        lg = np.asarray(jax.jit(
+            lambda p: model.apply(p, shared, mi, train=False).logits)(params))
         delta = np.abs(lg - g["logits"]).max()
         agree = float((lg.argmax(-1) == g["logits"].argmax(-1)).mean())
         print(f"\nbf16 vs golden fp32 forward: max |logit delta| = {delta:.4f}, "
@@ -117,9 +119,12 @@ class TestBf16Video:
         vi, _ = make_synthetic_video(cfg, num_videos=2, num_frames=32, seed=0)
         cfg16 = cfg.replace(model=dataclasses.replace(cfg.model, dtype="bfloat16"))
         m32, m16 = VideoFVTAModel(cfg=cfg), VideoFVTAModel(cfg=cfg16)
-        params = m32.init(jax.random.key(0), shared, vi, train=False)
-        lg32 = np.asarray(m32.apply(params, shared, vi, train=False).logits)
-        lg16 = np.asarray(m16.apply(params, shared, vi, train=False).logits)
+        params = jax.jit(lambda k: m32.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        lg32 = np.asarray(jax.jit(
+            lambda p: m32.apply(p, shared, vi, train=False).logits)(params))
+        lg16 = np.asarray(jax.jit(
+            lambda p: m16.apply(p, shared, vi, train=False).logits)(params))
         assert np.isfinite(lg16).all()
         assert 0 < np.abs(lg16 - lg32).max() < 0.5
         assert (lg16.argmax(-1) == lg32.argmax(-1)).all()

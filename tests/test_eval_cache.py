@@ -21,8 +21,9 @@ class TestEvalCache:
         ds = Dataset(packed_synth, "train")
         batch = device_put_batch(next(iter(ds.get_batches(4))))
         model = FVTAModel(cfg=small_config)
-        params = model.init(jax.random.key(0), shared, assemble(shared, batch),
-                            train=False)
+        mi0 = assemble(shared, batch)
+        params = jax.jit(lambda k: model.init(k, shared, mi0, train=False))(
+            jax.random.key(0))
         return model, params, shared, ds
 
     def test_cache_covers_all_albums(self, packed_synth, small_config):

@@ -87,8 +87,9 @@ class TestGolden:
         batch = device_put_batch(next(iter(Dataset(packed_synth, "train").get_batches(4))))
         mi = assemble(shared, batch)
         model = FVTAModel(cfg=small_config)
-        params = model.init(jax.random.key(0), shared, mi, train=False)
-        out = model.apply(params, shared, mi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, mi, train=False))(params)
         np.testing.assert_allclose(np.asarray(out.logits), g["logits"],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out.attention.seq_attn), g["seq_attn"],

@@ -194,9 +194,10 @@ def test_model_pallas_path_matches_ref_path(packed_synth, small_config):
     cfg_pal = small_config.replace(
         model=mc.__class__(**{**mc.__dict__, "use_pallas": True}))
     m_ref, m_pal = FVTAModel(cfg=cfg_ref), FVTAModel(cfg=cfg_pal)
-    params = m_ref.init(jax.random.key(0), shared, mi, train=False)
-    o_ref = m_ref.apply(params, shared, mi, train=False)
-    o_pal = m_pal.apply(params, shared, mi, train=False)
+    params = jax.jit(lambda k: m_ref.init(k, shared, mi, train=False))(
+        jax.random.key(0))
+    o_ref = jax.jit(lambda p: m_ref.apply(p, shared, mi, train=False))(params)
+    o_pal = jax.jit(lambda p: m_pal.apply(p, shared, mi, train=False))(params)
     np.testing.assert_allclose(np.asarray(o_pal.logits), np.asarray(o_ref.logits),
                                rtol=1e-5, atol=1e-5)
 

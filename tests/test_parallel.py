@@ -348,6 +348,32 @@ class TestFlagshipCP:
                 np.asarray(vc), np.asarray(vr), rtol=5e-4, atol=1e-5,
                 err_msg=jax.tree_util.keystr(kr))
 
+    def test_cp_attention_matches_local_small(self):
+        """Always-on CP-in-flagship parity at the smallest shapes where every
+        axis is still a distinct size (so transposed/mixed-up dims cannot
+        cancel). The midscale and MemexQA-scale versions are slow-gated
+        (round-3 wall-clock tiers); the driver's dryrun_multichip also runs a
+        realistic-shape DPxCP grad step every round."""
+        from fvta_memexqa_tpu.bench_lib import realistic_config
+        from fvta_memexqa_tpu.config import DataConfig, ModelConfig
+
+        cfg = realistic_config().replace(
+            data=DataConfig(
+                # t_ctx = max(max_photos, max_album_text_len) = 8 must divide
+                # the cp=4 mesh axis; everything else pairwise distinct.
+                max_albums=2, max_photos=5, max_question_len=9,
+                max_answer_len=4, max_sent_len=6, max_album_text_len=8,
+                max_word_len=7, image_feat_dim=48, word_emb_dim=36,
+                word_vocab_size=300, char_vocab_size=40, num_glove_words=220),
+            model=ModelConfig(hidden_dim=20, char_emb_dim=8,
+                              char_cnn_filters=12))
+        self._run_scale_case(cfg, num_albums=5, num_photos=15, batch_size=4)
+
+    @pytest.mark.skipif(not os.environ.get("FVTA_RUN_SLOW"),
+                        reason="midscale CP grad parity ~45s; the small variant "
+                               "always runs and the driver's dryrun_multichip "
+                               "exercises realistic shapes every round "
+                               "(FVTA_RUN_SLOW=1 to include)")
     def test_cp_attention_matches_local_midscale(self):
         from fvta_memexqa_tpu.bench_lib import realistic_config
         from fvta_memexqa_tpu.config import DataConfig, ModelConfig
@@ -363,10 +389,10 @@ class TestFlagshipCP:
         self._run_scale_case(cfg, num_albums=12, num_photos=48, batch_size=4)
 
     @pytest.mark.skipif(not os.environ.get("FVTA_RUN_SLOW"),
-                        reason="MemexQA-scale CP grad parity ~75s; midscale "
-                               "always runs and the driver's dryrun_multichip "
-                               "exercises realistic shapes every round "
-                               "(FVTA_RUN_SLOW=1 to include)")
+                        reason="MemexQA-scale CP grad parity ~75s; small "
+                               "variant always runs and the driver's "
+                               "dryrun_multichip exercises realistic shapes "
+                               "every round (FVTA_RUN_SLOW=1 to include)")
     def test_cp_attention_matches_local_at_memexqa_scale(self):
         from fvta_memexqa_tpu.bench_lib import realistic_config
 

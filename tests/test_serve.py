@@ -25,7 +25,8 @@ def served(packed_synth, small_config):
     batch = device_put_batch(next(iter(ds.get_batches(4))))
     mi = assemble(shared, batch)
     model = FVTAModel(cfg=small_config)
-    params = model.init(jax.random.key(0), shared, mi, train=False)
+    params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+        jax.random.key(0))
     vocab = vocab_view(packed_synth.meta)
     store = AlbumStore(small_config, model, params, shared, vocab)
     _, albums, feats, _, _ = make_synthetic(seed=0)
@@ -39,11 +40,11 @@ class TestSplitModel:
         model, params, shared, *_ = served
         ds = Dataset(packed_synth, "train")
         mi = assemble(shared, device_put_batch(next(iter(ds.get_batches(4)))))
-        full = model.apply(params, shared, mi, train=False)
-        h, m = model.apply(params, shared, mi, train=False,
-                           method=model.encode_context)
-        split = model.apply(params, shared, mi, h, m, train=False,
-                            method=model.answer)
+        full = jax.jit(lambda p: model.apply(p, shared, mi, train=False))(params)
+        h, m = jax.jit(lambda p: model.apply(
+            p, shared, mi, train=False, method=model.encode_context))(params)
+        split = jax.jit(lambda p, h, m: model.apply(
+            p, shared, mi, h, m, train=False, method=model.answer))(params, h, m)
         np.testing.assert_allclose(np.asarray(full.logits), np.asarray(split.logits),
                                    rtol=1e-6, atol=1e-6)
 
@@ -60,8 +61,8 @@ class TestAlbumStore:
         ds = Dataset(packed_synth, "train")
         batch = device_put_batch(next(iter(ds.get_batches(1))))
         mi = assemble(shared, batch)
-        h_all, m_all = model.apply(params, shared, mi, train=False,
-                                   method=model.encode_context)
+        h_all, m_all = jax.jit(lambda p: model.apply(
+            p, shared, mi, train=False, method=model.encode_context))(params)
         n_mod = len(MODALITIES)
         # locate the example's first real album id
         aidx = int(batch.album_idx[0, 0])

@@ -59,9 +59,9 @@ class TestTF1RoundTrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
         # the imported tree must drive the real model, not just compare equal
-        lg_a = np.asarray(model.apply(params, shared, mi, train=False).logits)
-        lg_b = np.asarray(model.apply({"params": new}, shared, mi,
-                                      train=False).logits)
+        fwd = jax.jit(lambda p: model.apply(p, shared, mi, train=False).logits)
+        lg_a = np.asarray(fwd(params))
+        lg_b = np.asarray(fwd({"params": new}))
         np.testing.assert_array_equal(lg_a, lg_b)
 
     def test_keras_layout_unfolds(self, model_and_params, tmp_path):

@@ -91,8 +91,9 @@ class TestVideoForward:
     def test_forward_shapes(self, video_setup, enc):
         cfg, vi, shared = video_setup
         model = VideoFVTAModel(cfg=cfg, num_choices=5, temporal_encoder=enc)
-        params = model.init(jax.random.key(0), shared, vi, train=False)
-        out = model.apply(params, shared, vi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
         assert out.logits.shape == (16, 5)
         assert out.attention.time_attn.shape == (16, 1, 32)
         assert np.isfinite(np.asarray(out.logits)).all()
@@ -101,7 +102,8 @@ class TestVideoForward:
         """The event is visible in the frame features; the model must learn it."""
         cfg, vi, shared = video_setup
         model = VideoFVTAModel(cfg=cfg, num_choices=5)
-        params = model.init(jax.random.key(0), shared, vi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
         opt = optax.adam(3e-3)
         opt_state = opt.init(params)
 
@@ -122,12 +124,14 @@ class TestVideoForward:
         """Full video forward with the attention sharded over the ctx axis."""
         cfg, vi, shared = video_setup
         model = VideoFVTAModel(cfg=cfg, num_choices=5)
-        params = model.init(jax.random.key(0), shared, vi, train=False)
-        ref = model.apply(params, shared, vi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        ref = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
 
         mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=8))
         cp_attn = make_cp_attention(mesh, cfg.model.similarity)
-        out = model.apply(params, shared, vi, train=False, cp_attention=cp_attn)
+        out = jax.jit(lambda p: model.apply(
+            p, shared, vi, train=False, cp_attention=cp_attn))(params)
         np.testing.assert_allclose(np.asarray(out.logits), np.asarray(ref.logits),
                                    rtol=1e-5, atol=1e-5)
 
@@ -135,7 +139,8 @@ class TestVideoForward:
         cfg, _, shared = video_setup
         vi, _ = make_synthetic_video(cfg, num_videos=2, num_frames=1024, seed=2)
         model = VideoFVTAModel(cfg=cfg, num_choices=5)
-        params = model.init(jax.random.key(0), shared, vi, train=False)
-        out = model.apply(params, shared, vi, train=False)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
         assert out.logits.shape == (2, 5)
         assert np.isfinite(np.asarray(out.logits)).all()

@@ -153,9 +153,10 @@ class TestVideoPack:
 
         test_ds = VideoDataset(video_pack_dir, "test")
         correct = total = 0.0
+        efwd = jax.jit(lambda p, v: model.apply(p, shared, v, train=False))
         for vi in test_ds.get_batches(6):
             vi = jax.tree.map(jnp.asarray, vi)
-            out = model.apply(params, shared, vi, train=False)
+            out = efwd(params, vi)
             w = np.asarray(vi.ex_mask)
             correct += ((np.argmax(np.asarray(out.logits), -1)
                          == np.asarray(vi.label)) * w).sum()
