@@ -15,8 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 # Persistent XLA compilation cache: the suite is dominated by CPU compiles of the
-# full model, so re-runs hit the cache and drop from ~30 min to minutes. Set via
-# env (not jax.config) so the CLI-subprocess tests inherit it too.
+# full model, so re-runs hit the cache and drop sharply. Set via env so the
+# CLI-subprocess tests inherit it, AND via jax.config.update below: the axon
+# sitecustomize (/root/.axon_site) imports jax at interpreter startup, BEFORE
+# this module runs, so config defaults snapshot the env too early and the
+# env-only setup silently left the cache disabled in the main pytest process.
 _JAX_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _JAX_CACHE)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
@@ -25,6 +28,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
