@@ -115,6 +115,17 @@ class TrainConfig:
     seed: int = 0
     keep_checkpoints: int = 3
     log_period: int = 20         # steps between metric lines
+    # Train-time album dedup (the train-side twin of eval_cache.py): batches
+    # re-encode each distinct album once and gather per-question context from
+    # the unique rows. Gradients scatter-add back through the gather, so the
+    # update is exact at keep_prob=1.0 (parity-tested); with dropout on,
+    # duplicate slots share one noise draw instead of independent draws —
+    # the overfit gate in tests/test_dedup_train.py covers that variant.
+    dedup_albums: bool = False
+    # Static size of the unique-album buffer as a fraction of the N*A slots;
+    # a batch with more distinct albums falls back to the plain step (both
+    # variants compile once). MemexQA batches measure ~18-32% duplicate slots.
+    dedup_cap: float = 0.875
 
 
 @dataclass(frozen=True)

@@ -121,6 +121,45 @@ def assemble(shared: SharedTables, batch: Batch,
     )
 
 
+def assemble_albums(d, shared: SharedTables, album_ids: jnp.ndarray,
+                    photo_table: jnp.ndarray | None = None) -> ModelInputs:
+    """Album-only inputs for a 1-album-per-row encode: ids [U] → ModelInputs
+    with N=U, A=1. The in-jit twin of eval_cache._album_only_batch, used by the
+    train-time album-dedup step (train.dedup_loss_and_metrics) to encode each
+    distinct album in a batch exactly once. Query-side fields are zeros of the
+    configured shapes (d: DataConfig) — encode_context never reads them, so XLA
+    dead-code-eliminates them from the step."""
+    a_idx = album_ids[:, None]                       # [U, 1]
+    amask = (a_idx > 0)[..., None]                   # [U, 1, 1]
+    u = album_ids.shape[0]
+    zi = lambda *s: jnp.zeros(s, jnp.int32)
+    zb = lambda *s: jnp.zeros(s, bool)
+    if photo_table is not None:
+        pf = photo_table[a_idx]
+    else:
+        pf = shared.photo_feats[shared.album_photo_idx[a_idx]]
+    return ModelInputs(
+        q_words=zi(u, d.max_question_len),
+        q_chars=zi(u, d.max_question_len, d.max_word_len),
+        q_mask=zb(u, d.max_question_len),
+        choice_words=zi(u, 4, d.max_answer_len),
+        choice_chars=zi(u, 4, d.max_answer_len, d.max_word_len),
+        choice_mask=zb(u, 4, d.max_answer_len),
+        photo_feats=pf,
+        photo_projected=photo_table is not None,
+        photo_mask=shared.album_photo_mask[a_idx] & amask,
+        photo_title_words=shared.photo_title_words[a_idx],
+        photo_title_chars=shared.photo_title_chars[a_idx],
+        photo_title_mask=shared.photo_title_mask[a_idx] & amask[..., None],
+        album_text_words=shared.album_text_words[a_idx],
+        album_text_chars=shared.album_text_chars[a_idx],
+        album_text_mask=shared.album_text_mask[a_idx] & amask[..., None],
+        album_mask=(a_idx > 0),
+        label=zi(u),
+        ex_mask=(album_ids > 0),
+    )
+
+
 def device_put_batch(batch: Batch) -> Batch:
     """Host→device transfer of the (small) id batch."""
     return jax.tree.map(jnp.asarray, batch)

@@ -178,6 +178,114 @@ def make_train_step(cfg: Config, model: FVTAModel):
                               canonical_model(model))
 
 
+# ---- train-time album dedup (TrainConfig.dedup_albums) ----------------------
+# The train-side twin of eval_cache.py: MemexQA batches reference far fewer
+# distinct albums than they have album slots (~18-32% duplicates measured), and
+# the context encoders are ~72% of the step (BASELINE.md), so encoding each
+# distinct album once and gathering per-question rows saves real step time.
+# The gather's transpose is a scatter-add, so duplicate slots' gradients
+# accumulate onto their shared album encode — the update is exact at
+# keep_prob=1.0 (parity-tested in tests/test_dedup_train.py); with dropout on,
+# duplicate slots share one noise draw (gated by the same overfit check).
+
+
+def dedup_album_batch(album_idx, u_cap: int):
+    """Host-side unique+inverse over a batch's album ids.
+
+    album_idx: host i32 [N, A] (0 = pad). Returns (uniq [u_cap] i32 padded
+    with 0, inv [N, A] i32 with uniq[inv] == album_idx), or None when the
+    batch has more than u_cap distinct ids (caller falls back to the plain
+    step). Must run BEFORE device transfer — np.asarray on a device array
+    would force a device→host fetch per step."""
+    import numpy as np
+
+    a = np.asarray(album_idx)
+    uniq, inv = np.unique(a, return_inverse=True)
+    if len(uniq) > u_cap:
+        return None
+    pad = u_cap - len(uniq)
+    if pad:
+        uniq = np.concatenate([uniq, np.zeros(pad, uniq.dtype)])
+    return uniq.astype(np.int32), inv.reshape(a.shape).astype(np.int32)
+
+
+def dedup_u_cap(cfg: Config) -> int:
+    """Static unique-buffer size: ceil(dedup_cap * N * A), rounded up to a
+    multiple of 8 (sublane-friendly), clamped to [8, N*A]."""
+    import math
+
+    slots = cfg.train.batch_size * cfg.data.max_albums
+    cap = math.ceil(cfg.train.dedup_cap * slots / 8) * 8
+    return max(8, min(cap, slots))
+
+
+def dedup_loss_and_metrics(model: FVTAModel, a1_model: FVTAModel, params,
+                           shared: SharedTables, batch: Batch, uniq, inv,
+                           dropout_rng, train: bool):
+    """loss_and_metrics through the dedup context encode: each distinct album
+    encodes once ([U, 6, T, 2H]), per-question context rows come from a gather
+    (eval_cache.gather_cached_context — the same definition the cached eval
+    path uses, so mask semantics stay single-sourced)."""
+    from fvta_memexqa_tpu.data.device_prepro import assemble_albums
+    from fvta_memexqa_tpu.eval_cache import gather_cached_context
+
+    if train and dropout_rng is not None:
+        k_ctx, k_ans = jax.random.split(dropout_rng)
+        rngs_ctx, rngs_ans = {"dropout": k_ctx}, {"dropout": k_ans}
+    else:
+        rngs_ctx = rngs_ans = None
+    vt = None
+    if model.cfg.model.vocab_embed:
+        # once per step, shared by both halves (same as __call__'s sharing)
+        vt = model.apply(params, shared, method=FVTAModel._vocab_table)
+    mi = assemble(shared, batch)  # album-side gathers are DCE'd (unused below)
+    mi_u = assemble_albums(a1_model.cfg.data, shared, uniq)
+    h_u, m_u = a1_model.apply(params, shared, mi_u, train=train, rngs=rngs_ctx,
+                              vocab_table=vt, method=a1_model.encode_context)
+    h_ctx, ctx_mask = gather_cached_context(h_u, m_u, inv, batch.album_mask)
+    out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=train,
+                      rngs=rngs_ans, vocab_table=vt, method=model.answer)
+    m = masked_choice_metrics(out.logits, mi.label, mi.ex_mask)
+    loss = m["loss_sum"] / jnp.maximum(m["count"], 1.0)
+    return loss, m
+
+
+@_functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def _dedup_train_step_jit(opt_key, model, a1_model, state, shared, batch,
+                          uniq, inv):
+    opt = _optimizer_from_key(opt_key)
+
+    def _wrapped_loss(params, sh, b, u, iv, k):
+        return dedup_loss_and_metrics(model, a1_model, params, sh, b, u, iv,
+                                      k, True)
+
+    key = jax.random.wrap_key_data(state.rng_key)
+    key, k_drop = jax.random.split(key)
+    (loss, m), grads = jax.value_and_grad(_wrapped_loss, has_aux=True)(
+        state.params, shared, batch, uniq, inv, k_drop
+    )
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=state.step + 1,
+        rng_key=jax.random.key_data(key),
+    )
+    metrics = {"loss": loss, "acc": m["correct"] / jnp.maximum(m["count"], 1.0)}
+    return new_state, metrics
+
+
+def make_dedup_train_step(cfg: Config, model: FVTAModel):
+    """Dedup train step: (state, shared, batch, uniq, inv) → (state, metrics).
+    uniq/inv come from dedup_album_batch (host side, pre-transfer)."""
+    a1_cfg = model.cfg.replace(data=model.cfg.data.__class__(
+        **{**model.cfg.data.__dict__, "max_albums": 1}))
+    return _functools.partial(_dedup_train_step_jit, _opt_key(cfg),
+                              canonical_model(model),
+                              canonical_model(FVTAModel(cfg=a1_cfg)))
+
+
 @_functools.partial(jax.jit, static_argnums=0)
 def _eval_step_jit(model, params, shared, batch, vocab_table=None,
                    photo_table=None):
@@ -317,6 +425,14 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
 
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)
+    # Album dedup is single-device-step only for now: under a DP mesh the
+    # unique set would need to be per-shard (shard-local uniq/inv through
+    # shard_map) or every device re-encodes the GLOBAL unique set and the
+    # dedup win inverts. Documented in docs/DESIGN.md.
+    use_dedup = cfg.train.dedup_albums and mesh is None
+    if use_dedup:
+        dedup_step = make_dedup_train_step(cfg, model)
+        u_cap = dedup_u_cap(cfg)
     log = MetricsLogger(metrics_path, echo=echo)
     timer = Timer()
     best_val = -1.0
@@ -326,6 +442,17 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
     #                               sync per step just to read the counter
 
     xfer = (lambda b: shard_batch(mesh, b)) if mesh is not None else device_put_batch
+    if use_dedup:
+        # Dedup runs on the HOST batch (before transfer, so no device fetch),
+        # inside the prefetch worker when prefetching. Items become
+        # (device_batch, (uniq, inv) | None); None → plain-step fallback.
+        def xfer_train(b):
+            dd = dedup_album_batch(b.album_idx, u_cap)
+            b = xfer(b)
+            return b, (None if dd is None
+                       else (jnp.asarray(dd[0]), jnp.asarray(dd[1])))
+    else:
+        xfer_train = xfer
     window_steps = 0  # steps in the CURRENT timing window (exact across resume/val)
     profiling = False
     for epoch in range(start_epoch, t.num_epochs):
@@ -342,11 +469,14 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
         if prefetch > 0:
             from fvta_memexqa_tpu.data.stream import Prefetcher
 
-            batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer)
+            batch_it = Prefetcher(batch_it, depth=prefetch, transfer=xfer_train)
         try:
             for batch in batch_it:
                 if prefetch <= 0:
-                    batch = xfer(batch)
+                    batch = xfer_train(batch)
+                dd = None
+                if use_dedup:
+                    batch, dd = batch
                 # Tracing (SURVEY.md section 5): profile steps [10, 15) once,
                 # after compile noise settles; view with tensorboard/perfetto.
                 if profile_dir and steps_done == 10:
@@ -354,7 +484,10 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
                     profiling = True
                 if not timer.samples and timer._t0 is None:
                     timer.start()  # window opens on the first step after a log
-                state, m = train_step(state, shared, batch)
+                if dd is not None:
+                    state, m = dedup_step(state, shared, batch, *dd)
+                else:
+                    state, m = train_step(state, shared, batch)
                 steps_done += 1
                 window_steps += 1
                 step = steps_done
