@@ -306,6 +306,64 @@ def bench_train(cfg: Config, batch_size: int = 64, k_small: int = 10,
         lambda k: np.asarray(loop(state, shared, batch, k)), k_small, k_large, reps)
 
 
+def bench_train_dedup(cfg: Config, batch_size: int = 64, k_small: int = 10,
+                      k_large: int = 60, reps: int = 3, seed: int = 0):
+    """Training-step throughput through the album-dedup step
+    (TrainConfig.dedup_albums): same fwd+bwd+adam chain as bench_train but the
+    context encode runs over the batch's UNIQUE albums + gather. The unique
+    buffer is sized to this batch's actual unique count (rounded up to 8) so
+    the number reflects the achievable win at this batch's duplicate rate.
+    Returns (qa_pairs_per_sec, unique_frac)."""
+    from functools import partial
+
+    from fvta_memexqa_tpu.models.fvta import FVTAModel as _M
+    from fvta_memexqa_tpu.train import (dedup_album_batch, dedup_loss_and_metrics,
+                                        init_state, make_optimizer)
+
+    model = FVTAModel(cfg=cfg)
+    a1_cfg = cfg.replace(data=cfg.data.__class__(
+        **{**cfg.data.__dict__, "max_albums": 1}))
+    a1_model = _M(cfg=a1_cfg)
+    shared = synth_shared(cfg, seed=seed)
+    batch = synth_batch(cfg, batch_size, seed=seed + 1)
+    slots = batch_size * cfg.data.max_albums
+    n_uniq = len(np.unique(np.asarray(batch.album_idx)))
+    u_cap = min(-(-n_uniq // 8) * 8, slots)
+    dd = dedup_album_batch(np.asarray(batch.album_idx), u_cap)
+    uniq, inv = jnp.asarray(dd[0]), jnp.asarray(dd[1])
+    state = init_state(cfg, model, shared, batch)
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, static_argnums=5)
+    def loop(st, sh, b, u, iv, k):
+        def body(i, carry):
+            params, opt_state, fb = carry
+            # perturb EVERY independent compute path (uniq drives the context
+            # encode; q/choice words drive the query side) or XLA hoists it
+            b2 = b.replace(q_words=b.q_words + fb, choice_words=b.choice_words + fb)
+            u2 = u + fb
+
+            def loss_fn(p):
+                return dedup_loss_and_metrics(
+                    model, a1_model, p, sh, b2, u2, iv,
+                    jax.random.fold_in(jax.random.key(0), i), True)[0]
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt_state = opt.update(g, opt_state, params)
+            params = jax.tree.map(lambda a, u_: a + u_, params, up)
+            fb = jnp.where(jnp.isnan(loss), 1, 0).astype(jnp.int32)
+            return params, opt_state, fb
+
+        params, opt_state, _ = jax.lax.fori_loop(
+            0, k, body, (st.params, st.opt_state, jnp.int32(0)))
+        return jax.tree.leaves(params)[0].sum()
+
+    qps = batch_size / _median_slope(
+        lambda k: np.asarray(loop(state, shared, batch, uniq, inv, k)),
+        k_small, k_large, reps)
+    return qps, n_uniq / slots
+
+
 def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
                            k_large: int = 250, reps: int = 3, seed: int = 0,
                            prebuilt=None):
