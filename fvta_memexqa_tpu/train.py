@@ -425,14 +425,21 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
 
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)
-    # Album dedup is single-device-step only for now: under a DP mesh the
-    # unique set would need to be per-shard (shard-local uniq/inv through
-    # shard_map) or every device re-encodes the GLOBAL unique set and the
-    # dedup win inverts. Documented in docs/DESIGN.md.
-    use_dedup = cfg.train.dedup_albums and mesh is None
+    # Album dedup composes with the DP mesh via GSPMD: uniq is sharded over
+    # "data" so each device encodes U/dp unique albums, then XLA all-gathers
+    # the (small) unique states for the per-example gather — the GLOBAL dedup
+    # rate is kept and the encode splits evenly (docs/DESIGN.md).
+    use_dedup = cfg.train.dedup_albums
     if use_dedup:
+        import math
+
         dedup_step = make_dedup_train_step(cfg, model)
         u_cap = dedup_u_cap(cfg)
+        if mesh is not None:
+            dp = mesh.shape["data"]
+            mult = math.lcm(8, dp)
+            slots = cfg.train.batch_size * cfg.data.max_albums
+            u_cap = min(-(-u_cap // mult) * mult, slots)
     log = MetricsLogger(metrics_path, echo=echo)
     timer = Timer()
     best_val = -1.0
@@ -446,11 +453,19 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
         # Dedup runs on the HOST batch (before transfer, so no device fetch),
         # inside the prefetch worker when prefetching. Items become
         # (device_batch, (uniq, inv) | None); None → plain-step fallback.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            _dd_shard = NamedSharding(mesh, _P("data"))
+            _put_dd = lambda x: jax.device_put(jnp.asarray(x), _dd_shard)
+        else:
+            _put_dd = jnp.asarray
+
         def xfer_train(b):
             dd = dedup_album_batch(b.album_idx, u_cap)
             b = xfer(b)
             return b, (None if dd is None
-                       else (jnp.asarray(dd[0]), jnp.asarray(dd[1])))
+                       else (_put_dd(dd[0]), _put_dd(dd[1])))
     else:
         xfer_train = xfer
     window_steps = 0  # steps in the CURRENT timing window (exact across resume/val)

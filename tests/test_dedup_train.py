@@ -114,6 +114,64 @@ class TestDedupExactness:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestDedupOnMesh:
+    def test_dp_dedup_grads_match_single_device(self, packed_synth, small_config):
+        """Dedup composes with the DP mesh via GSPMD (uniq sharded over "data",
+        the unique encode splits across devices, XLA all-gathers the unique
+        states before the per-example gather): gradients must equal the
+        single-device dedup step within float tolerance."""
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.data import Dataset, SharedTables
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from fvta_memexqa_tpu.train import init_state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = small_config.replace(mesh=MeshConfig(data_parallel=8))
+        model = FVTAModel(cfg=cfg)
+        a1_cfg = cfg.replace(data=cfg.data.__class__(
+            **{**cfg.data.__dict__, "max_albums": 1}))
+        a1_model = FVTAModel(cfg=a1_cfg)
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(8))))
+        state = init_state(cfg, model, shared, batch)
+        dd = dedup_album_batch(np.asarray(batch.album_idx), u_cap=8)  # lcm(8, dp)
+        assert dd is not None
+
+        def grads(sh, b, uniq, inv):
+            def loss_fn(p):
+                return dedup_loss_and_metrics(model, a1_model, p, sh, b,
+                                              uniq, inv, None, False)[0]
+            return jax.jit(jax.grad(loss_fn))(state.params)
+
+        g_single = grads(shared, batch, jnp.asarray(dd[0]), jnp.asarray(dd[1]))
+        mesh = make_mesh(cfg.mesh)
+        sh_r = jax.device_put(shared, replicated(mesh))
+        b_s = shard_batch(mesh, device_put_batch(next(iter(ds.get_batches(8)))))
+        s_dd = NamedSharding(mesh, P("data"))
+        g_dp = grads(sh_r, b_s, jax.device_put(jnp.asarray(dd[0]), s_dd),
+                     jax.device_put(jnp.asarray(dd[1]), s_dd))
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_dp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_dedup_train_loop_on_mesh(self, packed_synth, small_config, tmp_path):
+        """run_train with dedup_albums on an 8-way DP mesh drives end to end."""
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.train import train as run_train
+
+        cfg = small_config.replace(
+            mesh=MeshConfig(data_parallel=8),
+            train=TrainConfig(batch_size=8, eval_batch_size=8, learning_rate=1e-3,
+                              num_epochs=1, val_period=2, save_period=10,
+                              log_period=2, seed=0, dedup_albums=True),
+        )
+        res = run_train(cfg, packed_synth, str(tmp_path / "dd_dp"), echo=False)
+        assert res["steps"] > 0
+        assert 0.0 <= res["best_val_acc"] <= 1.0
+
+
 class TestDedupTraining:
     def test_dedup_train_overfits(self, packed_synth, tmp_path):
         """Accuracy gate with dropout ON (duplicate slots share a noise draw):
