@@ -75,6 +75,15 @@ def main():
     print(f"training (fwd+bwd+adam, pallas={train_pallas}): "
           f"{train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
 
+    # training with batch album dedup (--dedup-albums): same chain, context
+    # encode over the batch's unique albums + gather (train.py dedup step)
+    from fvta_memexqa_tpu.bench_lib import bench_train_dedup
+
+    train_dd_qps, dd_uniq_frac = bench_train_dedup(
+        _rc(use_pallas=train_pallas), batch_size=64)
+    print(f"training+dedup: {train_dd_qps:.1f} qa/s @ bs=64 "
+          f"(unique slots {dd_uniq_frac*100:.0f}%)", file=sys.stderr)
+
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -157,6 +166,8 @@ def main():
         "cached_qa_pairs_per_sec": round(cached_qps, 2),
         "cached_batch_size": cached_bs,
         "train_qa_pairs_per_sec": round(train_qps, 2),
+        "train_dedup_qa_pairs_per_sec": round(train_dd_qps, 2),
+        "train_dedup_unique_frac": round(dd_uniq_frac, 3),
         "model_flops": fwd_cost["flops"],
         "train_flops": train_cost["flops"],
         "mfu": round(mfu, 4) if mfu is not None else None,

@@ -316,14 +316,12 @@ def bench_train_dedup(cfg: Config, batch_size: int = 64, k_small: int = 10,
     Returns (qa_pairs_per_sec, unique_frac)."""
     from functools import partial
 
-    from fvta_memexqa_tpu.models.fvta import FVTAModel as _M
-    from fvta_memexqa_tpu.train import (dedup_album_batch, dedup_loss_and_metrics,
-                                        init_state, make_optimizer)
+    from fvta_memexqa_tpu.train import (a1_config, dedup_album_batch,
+                                        dedup_loss_and_metrics, init_state,
+                                        make_optimizer)
 
     model = FVTAModel(cfg=cfg)
-    a1_cfg = cfg.replace(data=cfg.data.__class__(
-        **{**cfg.data.__dict__, "max_albums": 1}))
-    a1_model = _M(cfg=a1_cfg)
+    a1_model = FVTAModel(cfg=a1_config(cfg))
     shared = synth_shared(cfg, seed=seed)
     batch = synth_batch(cfg, batch_size, seed=seed + 1)
     slots = batch_size * cfg.data.max_albums

@@ -124,11 +124,11 @@ def assemble(shared: SharedTables, batch: Batch,
 def assemble_albums(d, shared: SharedTables, album_ids: jnp.ndarray,
                     photo_table: jnp.ndarray | None = None) -> ModelInputs:
     """Album-only inputs for a 1-album-per-row encode: ids [U] → ModelInputs
-    with N=U, A=1. The in-jit twin of eval_cache._album_only_batch, used by the
-    train-time album-dedup step (train.dedup_loss_and_metrics) to encode each
-    distinct album in a batch exactly once. Query-side fields are zeros of the
-    configured shapes (d: DataConfig) — encode_context never reads them, so XLA
-    dead-code-eliminates them from the step."""
+    with N=U, A=1. The ONE definition of album-only encode inputs, shared by
+    the eval cache (eval_cache._encode_album_jit), serving pack ingestion, and
+    the train-time album-dedup step (train.dedup_loss_and_metrics). Query-side
+    fields are zeros of the configured shapes (d: DataConfig) — encode_context
+    never reads them, so XLA dead-code-eliminates them from the step."""
     a_idx = album_ids[:, None]                       # [U, 1]
     amask = (a_idx > 0)[..., None]                   # [U, 1, 1]
     u = album_ids.shape[0]

@@ -20,35 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from fvta_memexqa_tpu.config import Config, MODALITIES
-from fvta_memexqa_tpu.data.device_prepro import ModelInputs, SharedTables, assemble
-from fvta_memexqa_tpu.data.pipeline import Batch
+from fvta_memexqa_tpu.data.device_prepro import (SharedTables, assemble,
+                                                 assemble_albums)
 from fvta_memexqa_tpu.models.fvta import FVTAModel
 
 
-def _album_only_batch(cfg: Config, rows: np.ndarray) -> Batch:
-    """A Batch whose examples are single albums (query fields zeroed)."""
-    d = cfg.data
-    n = len(rows)
-    z = np.zeros
-    album_idx = z((n, 1), np.int32)
-    album_idx[:, 0] = rows
-    return Batch(
-        q_words=z((n, d.max_question_len), np.int32),
-        q_chars=z((n, d.max_question_len, d.max_word_len), np.int32),
-        q_mask=z((n, d.max_question_len), bool),
-        choice_words=z((n, 4, d.max_answer_len), np.int32),
-        choice_chars=z((n, 4, d.max_answer_len, d.max_word_len), np.int32),
-        choice_mask=z((n, 4, d.max_answer_len), bool),
-        album_idx=album_idx,
-        album_mask=(album_idx > 0),
-        label=z(n, np.int32),
-        ex_mask=np.ones(n, bool),
-    )
-
-
 @functools.partial(jax.jit, static_argnums=0)
-def _encode_album_jit(a1_model, p, sh, b, vt, pt):
-    mi = assemble(sh, b, pt)
+def _encode_album_jit(a1_model, p, sh, ids, vt, pt):
+    # assemble_albums is the ONE definition of album-only encode inputs,
+    # shared with the train-time dedup step (train.dedup_loss_and_metrics)
+    mi = assemble_albums(a1_model.cfg.data, sh, ids, pt)
     return a1_model.apply(p, sh, mi, train=False, vocab_table=vt,
                           method=a1_model.encode_context)
 
@@ -58,11 +39,9 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
                            vocab_table=None, photo_table=None):
     """Encode every album row once → (h [R, 6, T, 2H], mask [R, 6, T]) on device.
     Row 0 is the pad album (all-masked)."""
-    from fvta_memexqa_tpu.train import canonical_model
+    from fvta_memexqa_tpu.train import a1_config, canonical_model
 
-    a1_cfg = cfg.replace(data=cfg.data.__class__(
-        **{**cfg.data.__dict__, "max_albums": 1}))
-    a1_model = FVTAModel(cfg=a1_cfg)
+    a1_model = FVTAModel(cfg=a1_config(cfg))
     encode = functools.partial(_encode_album_jit, canonical_model(a1_model))
 
     num_rows = int(shared.album_photo_idx.shape[0])
@@ -71,8 +50,8 @@ def precompute_album_cache(cfg: Config, model: FVTAModel, params,
         rows = np.arange(start, min(start + batch_size, num_rows))
         pad = batch_size - len(rows)
         rows_p = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
-        b = jax.tree.map(jnp.asarray, _album_only_batch(a1_cfg, rows_p))
-        h, m = encode(params, shared, b, vocab_table, photo_table)
+        h, m = encode(params, shared, jnp.asarray(rows_p, jnp.int32),
+                      vocab_table, photo_table)
         hs.append(h[: len(rows)])
         ms.append(m[: len(rows)])
     return jnp.concatenate(hs), jnp.concatenate(ms)

@@ -243,8 +243,9 @@ class AlbumStore:
         # frozen-param photo fast path: one contiguous-row gather per album
         # instead of P random 10KB rows (identical logits, parity-tested)
         self._photo_table = make_photo_table(self.model, self.params, self.shared)
-        self._a1_cfg = self.cfg.replace(data=self.cfg.data.__class__(
-            **{**self.cfg.data.__dict__, "max_albums": 1}))
+        from fvta_memexqa_tpu.train import a1_config
+
+        self._a1_cfg = a1_config(self.cfg)
         a1_model = FVTAModel(cfg=self._a1_cfg)
 
         # shared module-level jit (eval_cache): one encode_context trace per
@@ -260,11 +261,10 @@ class AlbumStore:
 
     def _encode_pack_rows(self, rows: np.ndarray):
         """Encode shared-table rows → (h [n, 6, T, 2H], m [n, 6, T])."""
-        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
-        from fvta_memexqa_tpu.eval_cache import _album_only_batch
+        import jax.numpy as jnp
 
-        b = device_put_batch(_album_only_batch(self._a1_cfg, rows))
-        return self._encode_rows(self.params, self.shared, b,
+        return self._encode_rows(self.params, self.shared,
+                                 jnp.asarray(rows, jnp.int32),
                                  self.vocab_table, self._photo_table)
 
     def ingest_pack(self, batch_size: int = 64) -> int:

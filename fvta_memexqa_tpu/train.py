@@ -209,6 +209,16 @@ def dedup_album_batch(album_idx, u_cap: int):
     return uniq.astype(np.int32), inv.reshape(a.shape).astype(np.int32)
 
 
+def a1_config(cfg: Config) -> Config:
+    """The album-only (max_albums=1) twin of a config: the model that encodes
+    one album per row. Single definition shared by the dedup train step, the
+    eval cache, and the bench — param structure is identical to the full
+    model's, so the same params tree drives both."""
+    import dataclasses
+
+    return cfg.replace(data=dataclasses.replace(cfg.data, max_albums=1))
+
+
 def dedup_u_cap(cfg: Config) -> int:
     """Static unique-buffer size: ceil(dedup_cap * N * A), rounded up to a
     multiple of 8 (sublane-friendly), clamped to [8, N*A]."""
@@ -279,11 +289,9 @@ def _dedup_train_step_jit(opt_key, model, a1_model, state, shared, batch,
 def make_dedup_train_step(cfg: Config, model: FVTAModel):
     """Dedup train step: (state, shared, batch, uniq, inv) → (state, metrics).
     uniq/inv come from dedup_album_batch (host side, pre-transfer)."""
-    a1_cfg = model.cfg.replace(data=model.cfg.data.__class__(
-        **{**model.cfg.data.__dict__, "max_albums": 1}))
     return _functools.partial(_dedup_train_step_jit, _opt_key(cfg),
                               canonical_model(model),
-                              canonical_model(FVTAModel(cfg=a1_cfg)))
+                              canonical_model(FVTAModel(cfg=a1_config(model.cfg))))
 
 
 @_functools.partial(jax.jit, static_argnums=0)
@@ -457,7 +465,10 @@ def train(cfg: Config, packed, out_dir: str, num_steps: int | None = None,
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             _dd_shard = NamedSharding(mesh, _P("data"))
-            _put_dd = lambda x: jax.device_put(jnp.asarray(x), _dd_shard)
+            # device_put the host array straight onto the mesh (one hop, like
+            # shard_batch) — jnp.asarray first would commit to the default
+            # device and pay a second reshard copy per step
+            _put_dd = lambda x: jax.device_put(x, _dd_shard)
         else:
             _put_dd = jnp.asarray
 

@@ -20,6 +20,7 @@ from fvta_memexqa_tpu.data import Dataset, SharedTables
 from fvta_memexqa_tpu.data.device_prepro import device_put_batch
 from fvta_memexqa_tpu.models import FVTAModel
 from fvta_memexqa_tpu.train import (
+    a1_config,
     dedup_album_batch,
     dedup_loss_and_metrics,
     dedup_u_cap,
@@ -71,9 +72,7 @@ class TestDedupExactness:
         mi0 = assemble(shared, batch)
         params = jax.jit(lambda k: model.init(k, shared, mi0, train=False))(
             jax.random.key(0))
-        a1_cfg = cfg.replace(data=cfg.data.__class__(
-            **{**cfg.data.__dict__, "max_albums": 1}))
-        a1_model = FVTAModel(cfg=a1_cfg)
+        a1_model = FVTAModel(cfg=a1_config(cfg))
 
         # train=False: with keep_prob=1.0 the train/eval forwards are the same
         # function, and passing no rng avoids flax's rng-type validation
@@ -129,9 +128,7 @@ class TestDedupOnMesh:
 
         cfg = small_config.replace(mesh=MeshConfig(data_parallel=8))
         model = FVTAModel(cfg=cfg)
-        a1_cfg = cfg.replace(data=cfg.data.__class__(
-            **{**cfg.data.__dict__, "max_albums": 1}))
-        a1_model = FVTAModel(cfg=a1_cfg)
+        a1_model = FVTAModel(cfg=a1_config(cfg))
         shared = SharedTables.from_packed(packed_synth.shared)
         ds = Dataset(packed_synth, "train")
         batch = device_put_batch(next(iter(ds.get_batches(8))))

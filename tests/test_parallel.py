@@ -305,11 +305,11 @@ class TestRealTwoProcessDCN:
 class TestFlagshipCP:
     """CP wired into the flagship FVTAModel (round-1 verdict missing #5):
     forward + grad parity vs the single-device attention. The always-on
-    variant runs at MID scale (hidden=48, feat=512 — every axis still a
-    distinct size, so transposed/mixed-up dims cannot cancel); the full
-    MemexQA-scale (hidden=100, feat=2537, vocab=12k) version is gated
-    (round-3 wall-clock split) and ALSO runs every round via the driver's
-    dryrun_multichip realistic-shape DPxCP grad step."""
+    variant runs at the smallest shapes where every axis is still a distinct
+    size (so transposed/mixed-up dims cannot cancel); midscale (hidden=48,
+    feat=512) and full MemexQA scale (hidden=100, feat=2537, vocab=12k) are
+    FVTA_RUN_SLOW-gated (round-3 wall-clock split) — and the driver's
+    dryrun_multichip runs a realistic-shape DPxCP grad step every round."""
 
     @staticmethod
     def _run_scale_case(cfg, num_albums, num_photos, batch_size):
