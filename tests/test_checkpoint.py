@@ -13,7 +13,8 @@ from fvta_memexqa_tpu.checkpoint import CheckpointManager
 from fvta_memexqa_tpu.train import train as run_train
 
 
-def cfg_for(packed, num_epochs, val_period=1000, save_period=6):
+def cfg_for(packed, num_epochs, val_period=1000, save_period=6,
+            dedup_albums=False):
     # save_period=6 puts a checkpoint exactly at the kill point (step 6) while
     # keeping the orbax save count low — async saves dominate this test's wall
     # time on the 1-core box.
@@ -24,7 +25,8 @@ def cfg_for(packed, num_epochs, val_period=1000, save_period=6):
                           keep_prob=0.9),
         train=TrainConfig(batch_size=4, eval_batch_size=4, learning_rate=1e-3,
                           num_epochs=num_epochs, val_period=val_period,
-                          save_period=save_period, log_period=100, seed=3),
+                          save_period=save_period, log_period=100, seed=3,
+                          dedup_albums=dedup_albums),
     )
 
 
@@ -56,6 +58,26 @@ class TestFaultInjection:
         # optimizer state too
         for a, b in zip(jax.tree.leaves(res_a["state"].opt_state),
                         jax.tree.leaves(res_k2["state"].opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dedup_run_resumes_bit_identically(self, packed_synth, tmp_path):
+        """Same exact-resume gate through the album-dedup train step
+        (TrainConfig.dedup_albums): the dedup step threads the SAME rng/step
+        state and the host-side unique/inverse is deterministic per batch, so
+        a killed dedup run must also continue bit for bit."""
+        straight = str(tmp_path / "straight")
+        killed = str(tmp_path / "killed")
+        cfg1 = cfg_for(packed_synth, num_epochs=1, save_period=2,
+                       dedup_albums=True)
+
+        res_a = run_train(cfg1, packed_synth, straight, echo=False)
+        res_k1 = run_train(cfg1, packed_synth, killed, num_steps=2, echo=False)
+        assert res_k1["steps"] == 2
+        res_k2 = run_train(cfg1, packed_synth, killed, echo=False)
+
+        assert res_k2["steps"] == res_a["steps"]
+        for a, b in zip(jax.tree.leaves(res_a["state"].params),
+                        jax.tree.leaves(res_k2["state"].params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     @pytest.mark.skipif(not os.environ.get("FVTA_RUN_SLOW"),
