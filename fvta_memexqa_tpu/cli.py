@@ -398,6 +398,10 @@ def cmd_video(argv):
                    choices=["dilated_conv", "bilstm"])
     p.add_argument("--hidden-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cp", type=int, default=1,
+                   help="context-parallel degree: shard the FVTA attention "
+                        "over the frame axis across N devices (frame count "
+                        "must be divisible by N)")
     args = p.parse_args(argv)
     if args.data:
         return _video_from_pack(args)
@@ -446,13 +450,14 @@ def cmd_video(argv):
                            temporal_encoder=args.encoder)
     params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
         jax.random.key(args.seed))
+    cp_attn = _make_video_cp(args.cp, args.num_frames, cfg)
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(p, s):
         (l, aux), g = jax.value_and_grad(
-            lambda pp: video_loss(model, pp, shared, vi, None, False),
+            lambda pp: video_loss(model, pp, shared, vi, None, False, cp_attn),
             has_aux=True)(p)
         up, s = opt.update(g, s, p)
         return optax.apply_updates(p, up), s, l, aux["acc"]
@@ -463,11 +468,11 @@ def cmd_video(argv):
         if (i + 1) % 50 == 0:
             print(f"[video] step={i+1} loss={float(loss):.4f} "
                   f"train_acc={float(acc):.4f}", file=sys.stderr)
-    _, test_m = video_loss(model, params, shared, vi_test, None, False)
+    _, test_m = video_loss(model, params, shared, vi_test, None, False, cp_attn)
     print(json.dumps({
         "encoder": args.encoder, "num_frames": args.num_frames,
         "train_acc": float(acc), "heldout_acc": float(test_m["acc"]),
-        "chance": 1.0 / args.num_choices,
+        "chance": 1.0 / args.num_choices, "cp": args.cp,
     }))
 
 
@@ -491,6 +496,22 @@ def cmd_synth_video(argv):
     write_raw_video_files(args.outdir, qas, feats, test_ids)
     print(json.dumps({"outdir": args.outdir, "videos": args.num_videos,
                       "test": len(test_ids)}))
+
+
+def _make_video_cp(cp: int, num_frames: int, cfg):
+    """cp>1 → a shard_map-wrapped context-parallel attention over a (1, cp)
+    mesh for the video frame axis; None for the single-device path."""
+    if cp <= 1:
+        return None
+    if num_frames % cp:
+        raise SystemExit(f"--cp {cp} requires the frame count ({num_frames}) "
+                         f"to be divisible by it")
+    from fvta_memexqa_tpu.config import MeshConfig
+    from fvta_memexqa_tpu.parallel.cp import make_cp_attention
+    from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=cp))
+    return make_cp_attention(mesh, cfg.model.similarity)
 
 
 def _video_from_pack(args):
@@ -525,20 +546,21 @@ def _video_from_pack(args):
     first = jax.tree.map(jnp.asarray, first)
     params = jax.jit(lambda k: model.init(k, shared, first, train=False))(
         jax.random.key(args.seed))
+    cp_attn = _make_video_cp(args.cp, meta["max_frames"], cfg)
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(p, s, vi):
         (l, aux), g = jax.value_and_grad(
-            lambda pp: video_loss(model, pp, shared, vi, None, False),
+            lambda pp: video_loss(model, pp, shared, vi, None, False, cp_attn),
             has_aux=True)(p)
         up, s = opt.update(g, s, p)
         return optax.apply_updates(p, up), s, l, aux["acc"]
 
     @jax.jit
     def eval_counts(p, vi):
-        out = model.apply(p, shared, vi, train=False)
+        out = model.apply(p, shared, vi, train=False, cp_attention=cp_attn)
         w = vi.ex_mask.astype(jnp.float32)
         correct = ((jnp.argmax(out.logits, -1) == vi.label) * w).sum()
         return correct, w.sum()

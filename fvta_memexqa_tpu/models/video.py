@@ -201,9 +201,14 @@ class VideoFVTAModel(nn.Module):
                            vocab_table)
 
 
-def video_loss(model: VideoFVTAModel, params, shared, vi: VideoInputs, rng, train):
+def video_loss(model: VideoFVTAModel, params, shared, vi: VideoInputs, rng, train,
+               cp_attention=None):
+    """cp_attention: optional shard_map-wrapped context-parallel attention
+    (parallel/cp.make_cp_attention) — trains long-T models with the frame axis
+    sharded over the mesh's "ctx" axis (cli video --cp N)."""
     rngs = {"dropout": rng} if train else None
-    out = model.apply(params, shared, vi, train=train, rngs=rngs)
+    out = model.apply(params, shared, vi, train=train, rngs=rngs,
+                      cp_attention=cp_attention)
     logp = jax.nn.log_softmax(out.logits)
     nll = -jnp.take_along_axis(logp, vi.label[:, None], axis=1)[:, 0]
     w = vi.ex_mask.astype(logp.dtype)

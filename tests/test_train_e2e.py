@@ -177,12 +177,23 @@ class TestCLI:
         assert all("test_acc" in v for v in out.values())
 
     def test_video_cli(self, tmp_path):
+        # --cp 2: the context-parallel training surface (frame axis sharded
+        # over 2 of the conftest's 8 virtual devices) through the real CLI
         env = {**os.environ, "FVTA_PLATFORM": "cpu"}
         r = subprocess.run(
             [sys.executable, "-m", "fvta_memexqa_tpu.cli", "video",
              "--num-videos", "16", "--num-frames", "8", "--steps", "30",
-             "--hidden-dim", "8"],
+             "--hidden-dim", "8", "--cp", "2"],
             capture_output=True, text=True, env=env, cwd="/root/repo", timeout=1200)
         assert r.returncode == 0, r.stderr[-2000:]
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert 0.0 <= out["heldout_acc"] <= 1.0 and out["chance"] == 0.2
+        assert out["cp"] == 2
+        # indivisible frame count → clean one-line error, not a traceback
+        r2 = subprocess.run(
+            [sys.executable, "-m", "fvta_memexqa_tpu.cli", "video",
+             "--num-videos", "8", "--num-frames", "9", "--steps", "1",
+             "--hidden-dim", "8", "--cp", "2"],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+        assert r2.returncode != 0
+        assert "divisible" in (r2.stderr + r2.stdout)
