@@ -164,7 +164,9 @@ class TestDedupOnMesh:
                               num_epochs=1, val_period=2, save_period=10,
                               log_period=2, seed=0, dedup_albums=True),
         )
-        res = run_train(cfg, packed_synth, str(tmp_path / "dd_dp"), echo=False)
+        # prefetch=1 also covers the Prefetcher carrying (batch, dedup) tuples
+        res = run_train(cfg, packed_synth, str(tmp_path / "dd_dp"), echo=False,
+                        prefetch=1)
         assert res["steps"] > 0
         assert 0.0 <= res["best_val_acc"] <= 1.0
 
