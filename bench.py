@@ -12,17 +12,58 @@ stored baseline with: python bench.py --record-cpu-baseline
 import json
 import os
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_cpu.json")
 
+# Watchdog: the axon tunnel can wedge for HOURS (device ops hang, no error —
+# CLAUDE.md). A hung bench prints NOTHING, breaking the one-JSON-line driver
+# contract; on expiry we print a null-metric line with whatever sections
+# completed and hard-exit. Partial results accumulate here as they land.
+_partial: dict = {}
+_done = threading.Event()
+_print_lock = threading.Lock()  # exactly ONE of (watchdog, main) prints
+
+
+def _arm_watchdog(deadline_s: float):
+    def fire():
+        if _done.wait(deadline_s):
+            return
+        with _print_lock:
+            if _done.is_set():
+                return
+            _emit_fallback(deadline_s)
+
+    t = threading.Thread(target=fire, daemon=True, name="bench-watchdog")
+    t.start()
+
+
+def _disarm_watchdog():
+    with _print_lock:
+        _done.set()
+
+
+def _emit_fallback(deadline_s: float):
+    print(json.dumps({
+        "metric": "qa_pairs_per_sec",
+        "value": None,
+        "unit": "qa/s",
+        "vs_baseline": None,
+        "error": f"device unresponsive: bench exceeded {deadline_s:.0f}s "
+                 "(axon tunnel wedge?); partial sections attached",
+        **_partial,
+    }), flush=True)
+    os._exit(3)
+
 
 def main():
     record_cpu = "--record-cpu-baseline" in sys.argv
     use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0").lower() in (
         "1", "true", "yes")
+    _arm_watchdog(float(os.environ.get("FVTA_BENCH_DEADLINE_S", "2700")))
     if record_cpu:
         import jax
 
@@ -46,12 +87,15 @@ def main():
         }
         with open(BASELINE_PATH, "w") as f:
             json.dump(rec, f, indent=2)
+        _disarm_watchdog()
         print(json.dumps(rec))
         return
 
     results = bench_inference(cfg, batch_sizes=(8, 64, 256))
     best = max(results, key=lambda r: r.qa_pairs_per_sec)
     b8 = next(r for r in results if r.batch_size == 8)
+    _partial.update(partial_qa_pairs_per_sec=round(best.qa_pairs_per_sec, 2),
+                    partial_batch_size=best.batch_size)
 
     from fvta_memexqa_tpu.bench_lib import bench_cached_inference
 
@@ -66,6 +110,7 @@ def main():
             cached_qps, cached_bs = qps, cbs
     print(f"cached-album inference: {cached_qps:.1f} qa/s @ bs={cached_bs} "
           f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
+    _partial["cached_qa_pairs_per_sec"] = round(cached_qps, 2)
 
     from fvta_memexqa_tpu.bench_lib import bench_train, realistic_config as _rc
 
@@ -74,6 +119,7 @@ def main():
     train_qps = bench_train(_rc(use_pallas=train_pallas), batch_size=64)
     print(f"training (fwd+bwd+adam, pallas={train_pallas}): "
           f"{train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
+    _partial["train_qa_pairs_per_sec"] = round(train_qps, 2)
 
     # training with batch album dedup (--dedup-albums): same chain, context
     # encode over the batch's unique albums + gather (train.py dedup step)
@@ -83,6 +129,7 @@ def main():
         _rc(use_pallas=train_pallas), batch_size=64)
     print(f"training+dedup: {train_dd_qps:.1f} qa/s @ bs=64 "
           f"(unique slots {dd_uniq_frac*100:.0f}%)", file=sys.stderr)
+    _partial["train_dedup_qa_pairs_per_sec"] = round(train_dd_qps, 2)
 
     vs = None
     if os.path.exists(BASELINE_PATH):
@@ -136,6 +183,7 @@ def main():
             fps = bench_video(t_frames, use_pallas=pallas,
                               flops_per_step=vcost, peak_flops=peak_flops)
             video[key] = round(fps, 1) if fps is not None else None
+            _partial[key] = video[key]
             print(f"{key}: {video[key]} frames/s", file=sys.stderr)
     # Cross-T consistency: per-frame throughput at T=1024 vs T=4096 must agree
     # within a modest factor (same per-frame math; utilization shifts only
@@ -156,6 +204,7 @@ def main():
             f"p50 {r.p50_latency_ms:.2f} ms, compile {r.compile_s:.1f}s",
             file=sys.stderr,
         )
+    _disarm_watchdog()  # from here on, only the real line below prints
     print(json.dumps({
         "metric": "qa_pairs_per_sec",
         "value": round(best.qa_pairs_per_sec, 2),
