@@ -618,6 +618,79 @@ def cmd_synth(argv):
                       "albums": args.num_albums, "focal": args.focal}))
 
 
+def cmd_attention_report(argv):
+    """Readable report over a `test --dump-attention` npz: per question, the
+    across-sequence focus (seq_attn) and the top within-sequence time cells
+    (time_attn) with (album, modality) names — the tensors behind the paper's
+    qualitative attention figures, without leaving the terminal."""
+    p = argparse.ArgumentParser(prog="fvta attention-report")
+    p.add_argument("npz", help="output of `cli test --dump-attention PATH`")
+    p.add_argument("--qid", default=None, help="report only this question id")
+    p.add_argument("--top", type=int, default=3,
+                   help="top-K (sequence, time) cells per question")
+    p.add_argument("--limit", type=int, default=10,
+                   help="max questions in the report (0 = all)")
+    p.add_argument("--json", action="store_true", dest="as_json",
+                   help="machine-readable JSONL instead of the text table")
+    p.add_argument("--wrong-only", action="store_true",
+                   help="only questions the model got wrong")
+    args = p.parse_args(argv)
+
+    from fvta_memexqa_tpu.config import MODALITIES
+
+    z = np.load(args.npz, allow_pickle=True)
+    qids = [str(q) for q in z["qid"]]
+    ta, sa = z["time_attn"], z["seq_attn"]          # [N,S,T], [N,S]
+    pred, label, probs = z["pred"], z["label"], z["probs"]
+    n_mod = len(MODALITIES)
+    rows = range(len(qids))
+    if args.qid is not None:
+        if args.qid not in qids:
+            print(f"error: qid {args.qid!r} not in {args.npz}", file=sys.stderr)
+            return 2
+        rows = [qids.index(args.qid)]
+    reported = 0
+    for i in rows:
+        if args.wrong_only and int(pred[i]) == int(label[i]):
+            continue
+        if args.limit and reported >= args.limit:
+            break
+        reported += 1
+        # joint focal weight of cell (s, t) = seq_attn[s] * time_attn[s, t]
+        joint = sa[i][:, None] * ta[i]
+        flat = joint.reshape(-1)
+        top = np.argsort(flat)[::-1][: args.top]
+        cells = []
+        for k in top:
+            s, t = divmod(int(k), ta.shape[2])
+            cells.append({
+                "album": s // n_mod,
+                "modality": MODALITIES[s % n_mod],
+                "t": t,
+                "weight": float(flat[k]),
+                "seq_weight": float(sa[i][s]),
+            })
+        rec = {
+            "qid": qids[i], "pred": int(pred[i]), "label": int(label[i]),
+            "correct": bool(pred[i] == label[i]),
+            "p_pred": float(probs[i][int(pred[i])]),
+            "focus": cells,
+        }
+        if args.as_json:
+            print(json.dumps(rec))
+        else:
+            mark = "✓" if rec["correct"] else f"✗ (gold {rec['label']})"
+            print(f"{rec['qid']}: pred choice {rec['pred']} "
+                  f"p={rec['p_pred']:.2f} {mark}")
+            for c in cells:
+                print(f"    album {c['album']} · {c['modality']:<12s} t={c['t']:<3d} "
+                      f"joint={c['weight']:.3f} (seq {c['seq_weight']:.3f})")
+    if not args.as_json:
+        print(f"[{reported} question(s) reported from {args.npz}]",
+              file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "prepro": cmd_prepro,
     "train": cmd_train,
@@ -630,6 +703,7 @@ COMMANDS = {
     "video-prepro": cmd_video_prepro,
     "synth-video": cmd_synth_video,
     "import-tf-checkpoint": cmd_import_tf,
+    "attention-report": cmd_attention_report,
 }
 
 

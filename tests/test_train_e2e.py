@@ -62,7 +62,7 @@ class TestOverfit:
         assert m["acc"] == 1.0  # restored params reproduce the overfit exactly
         assert m["count"] == Dataset(packed_synth, "train").n
 
-    def test_attention_dump(self, packed_synth, trained, tmp_path):
+    def test_attention_dump(self, packed_synth, trained, tmp_path, capsys):
         """test(attention_path=...) writes the qualitative-analysis tensors,
         consistent with the reported metrics."""
         cfg, res, out = trained
@@ -79,6 +79,21 @@ class TestOverfit:
         np.testing.assert_allclose(z["seq_attn"].sum(-1), 1.0, rtol=1e-4)
         assert (z["pred"] == z["label"]).mean() == pytest.approx(m["acc"], abs=1e-6)
         assert len(set(z["qid"])) == n
+
+        # the attention-report CLI renders it (in-process; JSON mode)
+        from fvta_memexqa_tpu.cli import cmd_attention_report
+        qid0 = str(z["qid"][0])
+        rc = cmd_attention_report([path, "--qid", qid0, "--json", "--top", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(out[-1])
+        assert rec["qid"] == qid0 and len(rec["focus"]) == 2
+        # cells are sorted by joint focal weight; weights are probabilities
+        w = [c["weight"] for c in rec["focus"]]
+        assert w[0] >= w[1] >= 0.0 and w[0] <= 1.0
+        assert rec["focus"][0]["modality"] in (
+            "photo", "photo_title", "album_title", "album_desc", "when", "where")
+        assert cmd_attention_report([path, "--qid", "no-such-qid"]) == 2
 
     def test_resume_continues_from_checkpoint(self, packed_synth, tmp_path):
         # minimal budgets: this asserts only that a second train() RESUMES
