@@ -342,6 +342,58 @@ def cmd_import_tf(argv):
                       "tf_variables": len(tfvars)}))
 
 
+def cmd_export_tf(argv):
+    """Inverse of import-tf-checkpoint: write a trained run's params as a
+    TF1-layout tf.train.Saver checkpoint (fused LSTM kernels, (i,j,f,o)
+    gates, in-cell forget bias), so weights trained here can be handed back
+    to a TF consumer. Round-trip (export → import) is bitwise-tested."""
+    p = argparse.ArgumentParser(prog="fvta export-tf-checkpoint")
+    p.add_argument("packdir", help="pack providing shapes/vocab for the model")
+    p.add_argument("rundir", help="orbax run dir holding the checkpoint")
+    p.add_argument("out_prefix", help="TF checkpoint prefix to write")
+    p.add_argument("--load-latest", action="store_true",
+                   help="export latest instead of best-on-val checkpoint")
+    p.add_argument("--tf-prefix", default="model",
+                   help="scope prefix for the TF variable names")
+    p.add_argument("--map", dest="map_file", default=None,
+                   help="JSON name mapping (our leaf path -> tf var name); "
+                        "default: tf_import.default_tf1_map(--tf-prefix)")
+    args = p.parse_args(argv)
+    import jax
+
+    from fvta_memexqa_tpu.checkpoint import CheckpointManager
+    from fvta_memexqa_tpu.config import load_config
+    from fvta_memexqa_tpu.data import load_pack
+    from fvta_memexqa_tpu.data.device_prepro import SharedTables, device_put_batch
+    from fvta_memexqa_tpu.data.pipeline import Dataset
+    from fvta_memexqa_tpu.models import FVTAModel
+    from fvta_memexqa_tpu.tf_import import default_tf1_map, export_tf1_checkpoint
+    from fvta_memexqa_tpu.train import init_state
+
+    packed = load_pack(args.packdir)
+    cfg = load_config(os.path.join(args.rundir, "config.json")).replace(
+        data=packed.cfg)
+    shared = SharedTables.from_packed(packed.shared)
+    model = FVTAModel(cfg=cfg)
+    any_split = next(s for s in ("train", "val", "test") if s in packed.splits)
+    batch = device_put_batch(next(iter(
+        Dataset(packed, any_split).get_batches(cfg.train.eval_batch_size))))
+    state = init_state(cfg, model, shared, batch)
+    ckpt = CheckpointManager(args.rundir, cfg)
+    state = ckpt.restore(state, best=not args.load_latest)
+    ckpt.close()
+
+    mapping = default_tf1_map(args.tf_prefix)
+    if args.map_file:
+        with open(args.map_file) as f:
+            mapping = json.load(f)
+    prefix = export_tf1_checkpoint(
+        jax.tree.map(np.asarray, state.params["params"]), args.out_prefix,
+        prefix=args.tf_prefix, mapping=mapping)
+    print(json.dumps({"tf_checkpoint": prefix, "step": int(state.step),
+                      "from": "latest" if args.load_latest else "best"}))
+
+
 def cmd_video_prepro(argv):
     """Pack raw video QA (qas.jsonl + frame_feats.npz [+ test ids + GloVe])
     into streaming shards (BASELINE config 4 real-data path)."""
@@ -703,6 +755,7 @@ COMMANDS = {
     "video-prepro": cmd_video_prepro,
     "synth-video": cmd_synth_video,
     "import-tf-checkpoint": cmd_import_tf,
+    "export-tf-checkpoint": cmd_export_tf,
     "attention-report": cmd_attention_report,
 }
 

@@ -152,3 +152,15 @@ def test_cli_import_then_test(pack_dir, tmp_path):
 
     m = run_test(cfg, packed, rundir, load_best=True, split="test", echo=False)
     assert m["count"] > 0 and 0.0 <= m["acc"] <= 1.0
+
+    # ...and back out: `cli export-tf-checkpoint` writes a TF1 checkpoint
+    # whose re-import evaluates to the SAME loss (full CLI round trip)
+    prefix2 = str(tmp_path / "tfexp" / "ck")
+    cli.main(["export-tf-checkpoint", pack_dir, rundir, prefix2,
+              "--load-latest"])
+    rundir2 = str(tmp_path / "run2")
+    cli.main(["import-tf-checkpoint", prefix2, pack_dir, rundir2,
+              "--hidden-dim", "16", "--char-emb-dim", "8",
+              "--char-cnn-filters", "16"])
+    m2 = run_test(cfg, packed, rundir2, load_best=True, split="test", echo=False)
+    assert m2["loss"] == m["loss"] and m2["acc"] == m["acc"]
