@@ -122,14 +122,21 @@ def main():
     _partial["train_qa_pairs_per_sec"] = round(train_qps, 2)
 
     # training with batch album dedup (--dedup-albums): same chain, context
-    # encode over the batch's unique albums + gather (train.py dedup step)
+    # encode over the batch's unique albums + gather (train.py dedup step).
+    # Non-fatal on failure: a dedup-path regression must not sink the whole
+    # bench artifact (null field instead).
     from fvta_memexqa_tpu.bench_lib import bench_train_dedup
 
-    train_dd_qps, dd_uniq_frac = bench_train_dedup(
-        _rc(use_pallas=train_pallas), batch_size=64)
-    print(f"training+dedup: {train_dd_qps:.1f} qa/s @ bs=64 "
-          f"(unique slots {dd_uniq_frac*100:.0f}%)", file=sys.stderr)
-    _partial["train_dedup_qa_pairs_per_sec"] = round(train_dd_qps, 2)
+    try:
+        train_dd_qps, dd_uniq_frac = bench_train_dedup(
+            _rc(use_pallas=train_pallas), batch_size=64)
+        print(f"training+dedup: {train_dd_qps:.1f} qa/s @ bs=64 "
+              f"(unique slots {dd_uniq_frac*100:.0f}%)", file=sys.stderr)
+        _partial["train_dedup_qa_pairs_per_sec"] = round(train_dd_qps, 2)
+    except Exception as e:  # pragma: no cover - defensive
+        train_dd_qps, dd_uniq_frac = None, None
+        print(f"training+dedup bench FAILED (recording null): {e!r}",
+              file=sys.stderr)
 
     vs = None
     if os.path.exists(BASELINE_PATH):
@@ -215,8 +222,10 @@ def main():
         "cached_qa_pairs_per_sec": round(cached_qps, 2),
         "cached_batch_size": cached_bs,
         "train_qa_pairs_per_sec": round(train_qps, 2),
-        "train_dedup_qa_pairs_per_sec": round(train_dd_qps, 2),
-        "train_dedup_unique_frac": round(dd_uniq_frac, 3),
+        "train_dedup_qa_pairs_per_sec": (round(train_dd_qps, 2)
+                                         if train_dd_qps is not None else None),
+        "train_dedup_unique_frac": (round(dd_uniq_frac, 3)
+                                    if dd_uniq_frac is not None else None),
         "model_flops": fwd_cost["flops"],
         "train_flops": train_cost["flops"],
         "mfu": round(mfu, 4) if mfu is not None else None,
@@ -230,4 +239,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # Same contract as the watchdog: ONE JSON line no matter what.
+        import traceback
+
+        traceback.print_exc()
+        with _print_lock:
+            if not _done.is_set():
+                _done.set()
+                print(json.dumps({
+                    "metric": "qa_pairs_per_sec",
+                    "value": None,
+                    "unit": "qa/s",
+                    "vs_baseline": None,
+                    "error": f"bench raised: {e!r}",
+                    **_partial,
+                }), flush=True)
+        sys.exit(2)
