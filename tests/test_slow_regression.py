@@ -18,24 +18,40 @@ slow = pytest.mark.skipif(
 
 
 @slow
-def test_focal_corpus_fvta_beats_flat(tmp_path):
+def test_focal_corpus_mechanism(tmp_path):
     """The focality-discriminating corpus (BASELINE.md "Focal ablation"):
-    hierarchical focal attention must beat flat attention on unseen-album
-    test questions — the mechanism the model family exists for (SURVEY.md
-    "What the reference is" item 3). At the recorded 240-album scale the gap
-    is 0.72 vs 0.57 total / 0.93 vs 0.78 focal; this gate runs a 96-album
-    version (measured: fvta 0.979 vs flat 0.879 total, both saturating the
-    focal kind — the diversity-driven focal gap needs the full 240-album run,
-    kept as the recorded chip experiment) and pins the total-accuracy
-    ordering plus fvta's near-perfect focal accuracy. Training is
-    deterministic (pinned seed, CPU), so these are regression pins, not
-    statistical claims."""
+    the focal mechanism must LOCALIZE planted photo evidence that flat
+    attention cannot (SURVEY.md "What the reference is" item 3 — the paper's
+    attention-figure claim as a testable property).
+
+    History matters here: the original gate asserted an ACCURACY ordering
+    (fvta > flat), but the corpus had a confound — objects were index-locked
+    to trip names/cities, so the trip name IN THE QUESTION revealed the
+    answer and the trained model aced focal questions with seq_attn ~0 on
+    photos (measured; fixed in make_focal_synthetic, see its in-generator
+    comment). On the decorrelated corpus neither variant converts photo
+    evidence into accuracy at this CPU scale (both ~0.30-0.39 focal vs 0.25
+    chance at 30-100 epochs; the chip-scale re-run is a ROADMAP item), but
+    the MECHANISM discriminates sharply:
+      - fvta's within-photo time attention peaks AT the planted evidence
+        position for 0.25-0.42 of focal questions (chance 0.125; the value
+        depends on the runtime environment — training is chaotic enough that
+        the suite's 8-virtual-device CPU client and a plain single-device
+        client reach different deterministic endpoints, 0.25 vs 0.417);
+      - flat's sits at/below chance (0.042-0.125) — its joint softmax cannot
+        localize against the decoy mass;
+      - both put most sequence mass on the photo modality (no text shortcut
+        exists anymore).
+    Deterministic per environment (pinned seed, CPU): regression pins with
+    cross-environment margins, not statistical claims."""
     import numpy as np
 
-    from fvta_memexqa_tpu.data.synthetic import make_focal_synthetic
+    from fvta_memexqa_tpu.data.synthetic import focal_kind, make_focal_synthetic
 
-    qas, albums, feats, test_ids, glove, val_ids = make_focal_synthetic(
-        num_albums=96, photos_per_album=8, num_questions=960, seed=2)
+    num_albums = 96
+    qas, albums, feats, test_ids, glove, val_ids, meta = make_focal_synthetic(
+        num_albums=num_albums, photos_per_album=8, num_questions=960, seed=2,
+        return_meta=True)
     packdir = str(tmp_path / "focal_pack")
     cfg_d = DataConfig(max_photos=8, max_question_len=12,
                        max_answer_len=4, max_sent_len=8, max_album_text_len=24,
@@ -43,7 +59,8 @@ def test_focal_corpus_fvta_beats_flat(tmp_path):
     pack(qas, albums, feats, test_ids, glove, packdir, cfg_d, seed=2,
          val_ids=val_ids)
     packed = load_pack(packdir)
-    total_acc, focal_acc = {}, {}
+    qid2album = {q.question_id: q.album_ids[0] for q in qas}
+    loc, photo_mass, total_acc = {}, {}, {}
     for variant in ("fvta", "flat"):
         cfg = Config().replace(
             data=packed.cfg,
@@ -58,13 +75,29 @@ def test_focal_corpus_fvta_beats_flat(tmp_path):
         m = run_test(cfg, packed, rundir, load_best=True, echo=False,
                      attention_path=att)
         z = np.load(att)
-        kinds = np.array([int(q[1:]) % 5 for q in z["qid"]])
-        acc = z["pred"] == z["label"]
+        # kind via the generator's OWN formula (focal_kind): a bare qi % 5
+        # mislabels every question past the first album cycle since the
+        # sweep offset landed (commit b578102)
+        kinds = np.array([focal_kind(int(q[1:]), num_albums)
+                          for q in z["qid"]])
+        sel = kinds <= 1
+        ev = np.array([meta[qid2album[str(q)]]["evidence_pos"]
+                       for q in z["qid"]])
+        t_arg = z["time_attn"][:, 0, :].argmax(-1)  # photo seq of album 0
+        loc[variant] = float((t_arg[sel] == ev[sel]).mean())
+        photo_mass[variant] = float(z["seq_attn"][sel, 0].mean())
         total_acc[variant] = float(m["acc"])
-        focal_acc[variant] = float(acc[kinds <= 1].mean())
-    assert focal_acc["fvta"] >= 0.9, (focal_acc, total_acc)
-    assert total_acc["fvta"] >= 0.93, (focal_acc, total_acc)
-    assert total_acc["fvta"] >= total_acc["flat"] + 0.05, (focal_acc, total_acc)
+    report = (loc, photo_mass, total_acc)
+    # mechanism: fvta localizes the planted evidence well above chance ...
+    assert loc["fvta"] >= 0.20, report    # measured 0.25 (suite env) / 0.417
+    # ... flat attention cannot localize at all ...
+    assert loc["flat"] <= 0.15, report    # measured 0.042-0.125 (chance 0.125)
+    assert loc["fvta"] >= loc["flat"] + 0.10, report
+    # ... and attention actually engages the photo modality (no text shortcut)
+    assert photo_mass["fvta"] >= 0.6, report    # measured 0.82-0.86
+    # sanity: the non-focal kinds keep both models well above 4-way chance
+    assert total_acc["fvta"] >= 0.55, report    # measured 0.63-0.68
+    assert total_acc["flat"] >= 0.50, report    # measured 0.61-0.63
 
 
 @slow
