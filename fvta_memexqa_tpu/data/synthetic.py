@@ -144,6 +144,7 @@ def make_focal_synthetic(
     test_fraction: float = 0.25,
     decoy_repeats: int = 12,
     return_meta: bool = False,
+    noise_scale: float = 0.3,
 ):
     """Corpus on which hierarchical focality is REQUIRED, not optional.
 
@@ -212,7 +213,10 @@ def make_focal_synthetic(
         evidence_pos = int(rng.integers(photos_per_album))
         pids = [f"p{i}_{p}" for p in range(photos_per_album)]
         for p, pid in enumerate(pids):
-            f = 0.3 * rng.normal(0, 1, feat_dim).astype(np.float32)
+            # noise_scale is the evidence-SNR knob (default 0.3 = the gated
+            # corpus, RNG-stream-identical): lower -> the planted object
+            # direction dominates the normalized feature more.
+            f = noise_scale * rng.normal(0, 1, feat_dim).astype(np.float32)
             if p == evidence_pos:
                 f = f + obj_dirs[obj]
             photo_feats[pid] = (f / np.linalg.norm(f)).astype(np.float32)
