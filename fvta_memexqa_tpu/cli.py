@@ -141,15 +141,21 @@ def cmd_train(argv):
     else:
         packed = load_pack(args.packdir)
     cfg = _config_from_args(args).replace(data=packed.cfg)
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
     if args.use_pallas is None:
         # fused LSTM kernels win the TRAIN step (~+15% measured, BASELINE.md
         # "Fused LSTM v2") but interpret-mode on CPU is slow — default by backend
-        import dataclasses as _dc
-
-        import jax as _jax
-
-        cfg = cfg.replace(model=_dc.replace(
-            cfg.model, use_pallas=_jax.default_backend() == "tpu"))
+        cfg = cfg.replace(model=_dc.replace(cfg.model, use_pallas=on_tpu))
+    if args.dedup_albums is None and on_tpu:
+        # train-time album dedup measured +25% on the v5e (8905 vs 7138 qa/s,
+        # BENCH r3 / BASELINE.md "Train-time album dedup") but -10% on the
+        # bandwidth-poor CPU stand-in — default by backend, --dedup-albums
+        # false opts out
+        cfg = cfg.replace(train=_dc.replace(cfg.train, dedup_albums=True))
     os.makedirs(args.rundir, exist_ok=True)
     res = train(cfg, packed, args.rundir, num_steps=args.num_steps,
                 metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
