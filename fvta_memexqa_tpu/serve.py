@@ -112,12 +112,27 @@ class AlbumStore:
 
     def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
                  vocab: Vocab, max_bytes: int | None = None, mesh=None,
-                 max_retained_inputs: int = 4096):
+                 max_retained_inputs: int = 4096, shard_cache: bool = False):
         from collections import OrderedDict
 
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
+        # Cache-sharded multi-chip serving (ROADMAP #8): place each album's
+        # encoded states on ONE mesh device (hash of the album id → home
+        # device), so aggregate cache capacity scales with the mesh instead of
+        # replicating. The query step fetches the few referenced entries over
+        # ICI (device-to-device), which is cheap next to the answer compute;
+        # the hash is deterministic so a restored cache (load()) redistributes
+        # identically across restarts. Replicated (shard_cache=False) remains
+        # the default — right whenever the corpus fits one chip (DESIGN.md).
+        self.shard_cache = shard_cache
+        if shard_cache:
+            if mesh is None:
+                raise ValueError("shard_cache requires a device mesh (--dp N)")
+            self._cache_devices = list(mesh.devices.flat)
+            self._dev_bytes = [0] * len(self._cache_devices)
+            self._home: dict[str, int] = {}
         if mesh is not None:
             # Multi-chip serving: replicate the (small) params/tables across the
             # mesh once; the query step then shards its micro-batch over "data"
@@ -180,17 +195,38 @@ class AlbumStore:
     def _entry_bytes(h, m) -> int:
         return int(h.size * h.dtype.itemsize + m.size * m.dtype.itemsize)
 
+    def _home_device(self, album_id: str) -> int:
+        """Deterministic home-device index for a sharded-cache entry."""
+        import zlib
+
+        return zlib.crc32(album_id.encode()) % len(self._cache_devices)
+
     def _put(self, album_id: str, h, m, mark_dirty: bool = True) -> None:
         """mark_dirty=False for values already reflected on disk (restores and
         on-demand re-encodes of previously saved entries) — otherwise re-encode
         churn under budget pressure would make the periodic saver refetch and
         rewrite the whole cache every period."""
+        di = None
+        if self.shard_cache:
+            # commit the entry to its home device BEFORE taking the lock (the
+            # device_put is async; only the bookkeeping needs the lock)
+            di = self._home_device(album_id)
+            dev = self._cache_devices[di]
+            h = jax.device_put(h, dev)
+            m = jax.device_put(m, dev)
         with self._lock:
             if album_id in self._store:
                 old = self._store.pop(album_id)
-                self._bytes -= self._entry_bytes(*old)
+                ob = self._entry_bytes(*old)
+                self._bytes -= ob
+                if di is not None:
+                    self._dev_bytes[self._home.pop(album_id)] -= ob
             self._store[album_id] = (h, m)
-            self._bytes += self._entry_bytes(h, m)
+            nb = self._entry_bytes(h, m)
+            self._bytes += nb
+            if di is not None:
+                self._home[album_id] = di
+                self._dev_bytes[di] += nb
             if mark_dirty:
                 self._gen += 1
             while (self.max_bytes is not None and self._bytes > self.max_bytes
@@ -207,7 +243,10 @@ class AlbumStore:
                     victim = next(iter(self._store))
                     self.evictions_unrecoverable += 1
                 eh, em = self._store.pop(victim)
-                self._bytes -= self._entry_bytes(eh, em)
+                vb = self._entry_bytes(eh, em)
+                self._bytes -= vb
+                if self.shard_cache:
+                    self._dev_bytes[self._home.pop(victim)] -= vb
                 self.evictions += 1
                 if victim == album_id:
                     break  # the new entry itself was the only recoverable one
@@ -324,6 +363,13 @@ class AlbumStore:
                 self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
                 entries.append((h[0], m[0]))
+        if self.shard_cache and entries:
+            # pull the referenced entries to one device (ICI device-to-device
+            # fetch) — committed arrays on different devices cannot feed one
+            # computation, and the answer step reshards the stack anyway
+            dev0 = self._cache_devices[0]
+            entries = [(jax.device_put(eh, dev0), jax.device_put(em, dev0))
+                       for eh, em in entries]
         t, h2 = d.max_context_time, 2 * self.cfg.model.hidden_dim
         h = jnp.zeros((d.max_albums * n_mod, t, h2), jnp.float32)
         m = jnp.zeros((d.max_albums * n_mod, t), bool)
@@ -388,6 +434,15 @@ class AlbumStore:
     def cache_bytes(self) -> int:
         with self._lock:
             return self._bytes
+
+    @property
+    def cache_bytes_per_device(self) -> list[int] | None:
+        """Per-device cache footprint (sharded mode only) — the observable for
+        hash-balance skew; sums to cache_bytes."""
+        if not self.shard_cache:
+            return None
+        with self._lock:
+            return list(self._dev_bytes)
 
 
 @dataclass
@@ -747,6 +802,8 @@ def serve_http(engine: QAEngine, store: AlbumStore,
             if self.path == "/stats":
                 self._json(200, {"albums": store.num_albums,
                                  "cache_bytes": store.cache_bytes,
+                                 "cache_bytes_per_device":
+                                     store.cache_bytes_per_device,
                                  "evictions": store.evictions,
                                  "evictions_unrecoverable":
                                      store.evictions_unrecoverable,
@@ -803,7 +860,8 @@ def serve_http(engine: QAEngine, store: AlbumStore,
 def build_engine(packdir: str, rundir: str, load_best: bool = True,
                  batch_size: int = 8, max_cache_bytes: int | None = None,
                  cache_dir: str | None = None, dp: int = 1,
-                 max_pending: int | None = None, preingest: bool = True):
+                 max_pending: int | None = None, preingest: bool = True,
+                 shard_cache: bool = False):
     """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
 
     preingest batch-encodes every pack album into the store at startup, so
@@ -839,7 +897,8 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
 
         mesh = make_mesh(MeshConfig(data_parallel=dp))
     store = AlbumStore(cfg, model, state.params, shared, vocab,
-                       max_bytes=max_cache_bytes, mesh=mesh)
+                       max_bytes=max_cache_bytes, mesh=mesh,
+                       shard_cache=shard_cache)
     if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
         n = store.load(cache_dir)
         print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
@@ -869,6 +928,12 @@ def main(argv):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices for the query step (multi-chip "
                         "serving; batch-size must divide by it)")
+    p.add_argument("--shard-cache", action="store_true",
+                   help="shard the album-encoding cache over the --dp mesh "
+                        "(one home device per album, hash-distributed) — "
+                        "aggregate cache capacity scales with the mesh for "
+                        "corpora that outgrow one chip's HBM; default "
+                        "replicates (right whenever one chip suffices)")
     p.add_argument("--auth-token", default=None,
                    help="require 'Authorization: Bearer <token>' on every "
                         "request; comma-separated values issue one credential "
@@ -897,7 +962,7 @@ def main(argv):
         batch_size=args.batch_size,
         max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
         cache_dir=args.cache_dir, dp=args.dp, max_pending=args.max_pending,
-        preingest=not args.no_preingest)
+        preingest=not args.no_preingest, shard_cache=args.shard_cache)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info

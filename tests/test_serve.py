@@ -208,6 +208,113 @@ class TestMeshServing:
             QAEngine(s_mesh, batch_size=3)
 
 
+class TestShardedCache:
+    """Cache-sharded multi-chip serving (ROADMAP #8): each album's encoded
+    states live on ONE hash-chosen mesh device, so aggregate cache capacity
+    scales with the mesh — answers must stay identical to the replicated
+    store, and the per-device byte accounting must stay consistent through
+    eviction and persistence."""
+
+    @pytest.fixture(scope="class")
+    def sharded_store(self, served, small_config):
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        model, params, shared, store, albums, feats = served
+        mesh = make_mesh(MeshConfig(data_parallel=4))
+        s = AlbumStore(small_config, model, params, shared, store.vocab,
+                       mesh=mesh, shard_cache=True)
+        for a in albums.values():
+            s.ingest(a, feats)
+        return s, albums, feats
+
+    def test_requires_mesh(self, served, small_config):
+        model, params, shared, store, *_ = served
+        with pytest.raises(ValueError, match="mesh"):
+            AlbumStore(small_config, model, params, shared, store.vocab,
+                       shard_cache=True)
+
+    def test_entries_live_on_hash_home_devices(self, sharded_store):
+        s, albums, _ = sharded_store
+        homes = set()
+        for aid in albums:
+            h, m = s._store[aid]
+            want = s._cache_devices[s._home_device(aid)]
+            assert h.devices() == {want}, aid
+            assert m.devices() == {want}, aid
+            homes.add(want)
+        assert len(homes) >= 2  # actually distributed, not all on one chip
+        per_dev = s.cache_bytes_per_device
+        assert sum(per_dev) == s.cache_bytes
+        assert all(b >= 0 for b in per_dev)
+
+    def test_answers_match_replicated_store(self, served, sharded_store):
+        *_, store, albums, feats = served
+        s, _, _ = sharded_store
+        e1 = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        e2 = QAEngine(s, batch_size=4, batch_window_ms=1.0)
+        try:
+            for aid in ("album0", "album1", "album2"):
+                a = albums[aid]
+                q = f"where did we go on {a.title} ?"
+                ch = [a.where, "mars", "narnia", "void"]
+                r1 = e1.ask(q, ch, [aid])
+                r2 = e2.ask(q, ch, [aid])
+                assert r1["answer_index"] == r2["answer_index"]
+                np.testing.assert_allclose(r1["probs"], r2["probs"],
+                                           rtol=1e-5, atol=1e-6)
+        finally:
+            e1.close()
+            e2.close()
+
+    def test_eviction_accounting_stays_consistent(self, served, small_config):
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        model, params, shared, store, albums, feats = served
+        mesh = make_mesh(MeshConfig(data_parallel=4))
+        # budget that holds ~2 entries → ingesting all albums forces evictions
+        any_h, any_m = next(iter(store._store.values()))
+        budget = int(2.5 * AlbumStore._entry_bytes(any_h, any_m))
+        s = AlbumStore(small_config, model, params, shared, store.vocab,
+                       mesh=mesh, shard_cache=True, max_bytes=budget)
+        for a in albums.values():
+            s.ingest(a, feats)
+        assert s.evictions > 0
+        assert s.cache_bytes <= budget
+        assert sum(s.cache_bytes_per_device) == s.cache_bytes
+        assert len(s._home) == len(s._store)
+        # evicted-but-ingested albums still answer (re-encode on demand)
+        engine = QAEngine(s, batch_size=4, batch_window_ms=1.0)
+        try:
+            a0 = albums["album0"]
+            r = engine.ask(f"where did we go on {a0.title} ?",
+                           [a0.where, "b", "c", "d"], ["album0"])
+            assert r["albums_found"] == 1
+        finally:
+            engine.close()
+
+    def test_save_load_roundtrip_redistributes(self, sharded_store, served,
+                                               small_config, tmp_path):
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        s, albums, _ = sharded_store
+        model, params, shared, store, *_ = served
+        path = str(tmp_path / "cache")
+        assert s.save(path)
+        mesh = make_mesh(MeshConfig(data_parallel=4))
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        mesh=mesh, shard_cache=True)
+        assert s2.load(path) == len(albums)
+        for aid in albums:
+            want = s2._cache_devices[s2._home_device(aid)]
+            assert s2._store[aid][0].devices() == {want}
+            np.testing.assert_array_equal(np.asarray(s2._store[aid][0]),
+                                          np.asarray(s._store[aid][0]))
+        assert sum(s2.cache_bytes_per_device) == s2.cache_bytes
+
+
 class TestHTTP:
     def test_http_roundtrip(self, served):
         import socket
