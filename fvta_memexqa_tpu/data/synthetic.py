@@ -145,6 +145,7 @@ def make_focal_synthetic(
     decoy_repeats: int = 12,
     return_meta: bool = False,
     noise_scale: float = 0.3,
+    albums_per_question: int = 1,
 ):
     """Corpus on which hierarchical focality is REQUIRED, not optional.
 
@@ -185,6 +186,27 @@ def make_focal_synthetic(
     accuracy-ordering gate was retired: the pre-decorrelation corpus was
     text-solvable and its fvta-beats-flat accuracy table is superseded
     (BASELINE.md "Focal ablation" correction).
+
+    albums_per_question > 1 is the MULTI-ALBUM regime (the real MemexQA shape:
+    questions address a user's collection, not one album). Each question gets
+    K-1 distractor albums in a shuffled slot order, and the wrong choices are
+    drawn from the DISTRACTOR albums' own planted objects / cities / years, so:
+
+    - pooled photo evidence is ambiguous at every seed: K object directions
+      are genuinely present in the context and several appear among the
+      choices — answering requires selecting the album the question names
+      (text cue) AND localizing the evidence position inside it (photo cue);
+    - flat attention's joint softmax must find 1 evidence position among
+      K x P photo positions PLUS the K-fold decoy text mass, while focal
+      attention's per-sequence max weighting only needs the named album's
+      photo sequence to out-max the others — the structural gap no longer
+      depends on a seed-lucky similarity margin (BASELINE.md "Focal
+      ablation", multi-seed chip table: at K=1 the ordering was
+      seed-dependent; this regime is the designed fix).
+
+    The K=1 default draws an RNG stream identical to the pre-knob generator
+    (the distractor draws happen only when K > 1, after every existing
+    per-question draw), so the gated corpus and golden fixtures are unchanged.
     """
     rng = np.random.default_rng(seed)
     albums: dict[str, Album] = {}
@@ -237,10 +259,57 @@ def make_focal_synthetic(
         evidence_meta[aid] = {"evidence_pos": evidence_pos, "object": obj,
                               "decoy": decoy}
 
+    # Album-holdout split boundaries (used below for the question split AND,
+    # in the multi-album regime, to keep distractor albums within the owner's
+    # split — a test album appearing as a training distractor would leak its
+    # photos/text into the train-time context).
+    n_test_albums = max(1, int(round(num_albums * test_fraction)))
+    n_val_albums = max(1, int(round(num_albums * 0.125)))
+    split_lo_hi = lambda i: (
+        (num_albums - n_test_albums, num_albums)
+        if i >= num_albums - n_test_albums else
+        (num_albums - n_test_albums - n_val_albums, num_albums - n_test_albums)
+        if i >= num_albums - n_test_albums - n_val_albums else
+        (0, num_albums - n_test_albums - n_val_albums))
+    if albums_per_question > 1:
+        smallest = min(n_test_albums, n_val_albums,
+                       num_albums - n_test_albums - n_val_albums)
+        if albums_per_question > smallest:
+            raise ValueError(
+                f"albums_per_question={albums_per_question} exceeds the "
+                f"smallest album split ({smallest}); grow num_albums")
+
     qas: list[QAPair] = []
     for qi in range(num_questions):
-        aid, name, city, year, obj, decoy = album_meta[qi % num_albums]
+        owner = qi % num_albums
+        aid, name, city, year, obj, decoy = album_meta[owner]
         r = np.random.default_rng(seed * 7919 + qi)
+        if albums_per_question > 1:
+            lo, hi = split_lo_hi(owner)
+            pool = [j for j in range(lo, hi) if j != owner]
+            d_idx = [pool[int(j)] for j in
+                     r.choice(len(pool), size=albums_per_question - 1,
+                              replace=False)]
+            d_meta = [album_meta[j] for j in d_idx]
+            slots = [owner] + d_idx
+            album_ids = tuple(album_meta[slots[int(j)]][0]
+                              for j in r.permutation(len(slots)))
+        else:
+            d_meta = []
+            album_ids = (aid,)
+
+        def fill_wrongs(preferred, pool_words, n, r=r):
+            """n distinct wrong choices: distractor-album facts first (they are
+            genuinely present in the context — pooled evidence is ambiguous),
+            random same-type words to fill."""
+            out = []
+            for c in preferred:
+                if c not in out and len(out) < n:
+                    out.append(c)
+            rest = [x for x in pool_words if x not in out]
+            while len(out) < n:
+                out.append(rest.pop(int(r.integers(len(rest)))))
+            return out
         # 0-1: focal "what" (the discriminator, 40%); 2: "what did the album
         # say" — the DECOY text is the answer channel, so decoy modalities
         # cannot be suppressed wholesale and any gating must be question-
@@ -254,33 +323,49 @@ def make_focal_synthetic(
             question = f"what did we photograph on the {name} trip ?"
             answer = obj
             others = [o for o in _OBJECTS if o not in (obj, decoy)]
-            picks = r.choice(len(others), size=2, replace=False)
-            choices = [answer, decoy] + [others[int(j)] for j in picks]
+            if d_meta:
+                d_objs = [m[4] for m in d_meta if m[4] not in (obj, decoy)]
+                choices = [answer, decoy] + fill_wrongs(d_objs, others, 2)
+            else:
+                picks = r.choice(len(others), size=2, replace=False)
+                choices = [answer, decoy] + [others[int(j)] for j in picks]
         elif kind == 2:
             question = f"what did the album say we photograph on the {name} trip ?"
             answer = decoy
             others = [o for o in _OBJECTS if o not in (obj, decoy)]
-            picks = r.choice(len(others), size=2, replace=False)
-            choices = [answer, obj] + [others[int(j)] for j in picks]
+            if d_meta:
+                d_decoys = [m[5] for m in d_meta if m[5] not in (obj, decoy)]
+                choices = [answer, obj] + fill_wrongs(d_decoys, others, 2)
+            else:
+                picks = r.choice(len(others), size=2, replace=False)
+                choices = [answer, obj] + [others[int(j)] for j in picks]
         elif kind == 3:
             question = f"where did we go on the {name} trip ?"
             answer = city
             others = [x for x in _CITIES if x != city]
-            picks = r.choice(len(others), size=3, replace=False)
-            choices = [answer] + [others[int(j)] for j in picks]
+            if d_meta:
+                d_cities = [m[2] for m in d_meta if m[2] != city]
+                choices = [answer] + fill_wrongs(d_cities, others, 3)
+            else:
+                picks = r.choice(len(others), size=3, replace=False)
+                choices = [answer] + [others[int(j)] for j in picks]
         else:
             question = f"what year was the {name} trip ?"
             answer = year
             others = [x for x in _YEARS if x != year]
-            picks = r.choice(len(others), size=3, replace=False)
-            choices = [answer] + [others[int(j)] for j in picks]
+            if d_meta:
+                d_years = [m[3] for m in d_meta if m[3] != year]
+                choices = [answer] + fill_wrongs(d_years, others, 3)
+            else:
+                picks = r.choice(len(others), size=3, replace=False)
+                choices = [answer] + [others[int(j)] for j in picks]
         order = r.permutation(4)
         qas.append(QAPair(
             question_id=f"q{qi}",
             question=question,
             answer=answer,
             choices=tuple(choices[int(j)] for j in order),
-            album_ids=(aid,),
+            album_ids=album_ids,
             flickr_user_id="synthuser",
         ))
 
@@ -288,9 +373,9 @@ def make_focal_synthetic(
     # must track unseen-album generalization, or long training overfits
     # album→object memorization and keep-best happily keeps it (measured: at
     # 120 epochs a question-level val stayed at 0.83 while unseen-album test
-    # collapsed to ~0.48 for both variants).
-    n_test_albums = max(1, int(round(num_albums * test_fraction)))
-    n_val_albums = max(1, int(round(num_albums * 0.125)))
+    # collapsed to ~0.48 for both variants). Multi-album questions keep every
+    # attached album within the owner's split (enforced above), so membership
+    # via album_ids[0] stays exact regardless of slot shuffling.
     test_albums = {f"album{i}" for i in
                    range(num_albums - n_test_albums, num_albums)}
     val_albums = {f"album{i}" for i in

@@ -46,6 +46,14 @@ def main():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--train-seed", type=int, default=None,
+                   help="init/shuffle seed (default: --seed). Decoupling it "
+                        "from the corpus seed separates corpus-draw variance "
+                        "from init variance across repeats.")
+    p.add_argument("--albums-per-question", type=int, default=1,
+                   help="K>1 = the multi-album regime: K-1 same-split "
+                        "distractor albums per question, wrong choices drawn "
+                        "from their planted facts (see make_focal_synthetic)")
     p.add_argument("--noise-scale", type=float, default=0.3,
                    help="evidence-SNR knob (generator default 0.3; lower = "
                         "stronger planted signal)")
@@ -70,15 +78,24 @@ def main():
         num_albums=args.num_albums, photos_per_album=args.photos_per_album,
         num_questions=args.num_questions, seed=args.seed,
         decoy_repeats=args.decoy_repeats, noise_scale=args.noise_scale,
-        return_meta=True)
+        albums_per_question=args.albums_per_question, return_meta=True)
     packdir = os.path.join(args.outdir, "pack")
-    cfg_d = DataConfig(max_photos=args.photos_per_album, max_question_len=12,
+    cfg_d = DataConfig(max_albums=args.albums_per_question,
+                       max_photos=args.photos_per_album, max_question_len=12,
                        max_answer_len=4, max_sent_len=8, max_album_text_len=24,
                        max_word_len=10, image_feat_dim=64)
     pack(qas, albums, feats, test_ids, glove, packdir, cfg_d, seed=args.seed,
          val_ids=val_ids)
     packed = load_pack(packdir)
-    qid2album = {q.question_id: q.album_ids[0] for q in qas}
+    # Per-question ground truth: the OWNER album (the trip the question names)
+    # and its slot in the (shuffled) album_ids order — pack assigns context
+    # slots in album_ids order, and album slot a's photo sequence is context
+    # sequence index a*6 (models/fvta.py: S groups album-major).
+    qid2owner, qid2slot = {}, {}
+    for qi, q in enumerate(qas):
+        owner = f"album{qi % args.num_albums}"
+        qid2owner[q.question_id] = owner
+        qid2slot[q.question_id] = q.album_ids.index(owner)
     # fused kernels ship the train step on TPU (same default as cmd_train)
     use_pallas = jax.default_backend() == "tpu"
 
@@ -94,7 +111,9 @@ def main():
                                   eval_batch_size=args.batch_size,
                                   learning_rate=args.lr, num_epochs=ep,
                                   val_period=100, save_period=2000,
-                                  log_period=200, seed=args.seed))
+                                  log_period=200,
+                                  seed=(args.train_seed if args.train_seed
+                                        is not None else args.seed)))
             rundir = os.path.join(args.outdir, f"{variant}_ep{ep}")
             os.makedirs(rundir, exist_ok=True)
             run_train(cfg, packed, rundir, echo=False)
@@ -106,15 +125,21 @@ def main():
                               for q in z["qid"]])
             correct = z["pred"] == z["label"]
             sel = kinds <= 1
-            ev = np.array([meta[qid2album[str(q)]]["evidence_pos"]
+            ev = np.array([meta[qid2owner[str(q)]]["evidence_pos"]
                            for q in z["qid"]])
-            # photo sequence of album 0 is context sequence index 0
-            t_arg = z["time_attn"][:, 0, :].argmax(-1)
+            # evidence album slot a -> its photo sequence is context seq a*6
+            pseq = np.array([qid2slot[str(q)] * 6 for q in z["qid"]])
+            rows = np.arange(len(pseq))
+            t_arg = z["time_attn"][rows, pseq, :].argmax(-1)
+            seq_arg = z["seq_attn"].argmax(-1)
             entry = {
                 "test_acc": float(m["acc"]),
                 "count": int(m["count"]),
                 "loc_rate": float((t_arg[sel] == ev[sel]).mean()),
-                "photo_mass": float(z["seq_attn"][sel, 0].mean()),
+                "photo_mass": float(z["seq_attn"][rows[sel], pseq[sel]].mean()),
+                # top sequence lies anywhere in the OWNER album's 6 sequences
+                "album_sel_rate": float(
+                    ((seq_arg[sel] // 6) == (pseq[sel] // 6)).mean()),
             }
             for k in (2, 3, 4):
                 entry[f"{KIND_NAMES[k]}_acc"] = float(
@@ -126,7 +151,10 @@ def main():
     print(json.dumps({
         "num_albums": args.num_albums, "num_questions": args.num_questions,
         "noise_scale": args.noise_scale, "decoy_repeats": args.decoy_repeats,
+        "albums_per_question": args.albums_per_question,
         "hidden": args.hidden, "seed": args.seed,
+        "train_seed": (args.train_seed if args.train_seed is not None
+                       else args.seed),
         "chance_loc": 1.0 / args.photos_per_album, "chance_acc": 0.25,
         "backend": jax.default_backend(), "results": results,
     }))
