@@ -167,6 +167,57 @@ class TestPack:
 
         assert _os.path.exists(_os.path.join(out, "val_question.ids"))
 
+    def test_focal_generator_multi_album(self):
+        """albums_per_question=K>1 (the multi-album regime, BASELINE.md "Focal
+        ablation"): every question carries K distinct albums from the OWNER's
+        split (no cross-split leakage through distractor contexts), the wrong
+        choices of focal questions include a distractor album's planted
+        object (pooled photo evidence is ambiguous by construction), and the
+        evidence object never appears in ANY attached album's text."""
+        from fvta_memexqa_tpu.data.synthetic import (focal_kind,
+                                                     make_focal_synthetic)
+
+        num_albums, K = 32, 3
+        qas, albums, feats, test_ids, glove, val_ids, meta = (
+            make_focal_synthetic(num_albums=num_albums, photos_per_album=4,
+                                 num_questions=160, seed=5,
+                                 albums_per_question=K, return_meta=True))
+        n_test = max(1, round(num_albums * 0.25))
+        n_val = max(1, round(num_albums * 0.125))
+
+        def split_of(aid):
+            i = int(aid[5:])
+            return ("test" if i >= num_albums - n_test else
+                    "val" if i >= num_albums - n_test - n_val else "train")
+
+        n_focal = n_amb = 0
+        for qi, q in enumerate(qas):
+            assert len(q.album_ids) == K
+            assert len(set(q.album_ids)) == K
+            owner = f"album{qi % num_albums}"
+            assert owner in q.album_ids
+            assert len({split_of(a) for a in q.album_ids}) == 1
+            assert len(set(q.choices)) == 4 and q.answer in q.choices
+            if focal_kind(qi, num_albums) <= 1:
+                n_focal += 1
+                text = " ".join(
+                    " ".join([albums[a].title, albums[a].description,
+                              albums[a].where, albums[a].when,
+                              *albums[a].photo_titles])
+                    for a in q.album_ids)
+                assert q.answer not in text.split()
+                d_objs = {meta[a]["object"] for a in q.album_ids if a != owner}
+                if d_objs & (set(q.choices) - {q.answer}):
+                    n_amb += 1
+        # distractor objects are among the wrong choices for most focal
+        # questions (absent only when every distractor's object collides
+        # with the owner's object or decoy)
+        assert n_focal > 0 and n_amb >= 0.8 * n_focal
+
+        with pytest.raises(ValueError, match="smallest album split"):
+            make_focal_synthetic(num_albums=8, num_questions=8,
+                                 albums_per_question=4)
+
     def test_deterministic(self, tmp_path):
         from fvta_memexqa_tpu.data import load_pack, pack
         from tests.conftest import small_data_config
