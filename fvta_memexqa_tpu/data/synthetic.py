@@ -205,8 +205,9 @@ def make_focal_synthetic(
       seed-dependent; this regime is the designed fix).
 
     The K=1 default draws an RNG stream identical to the pre-knob generator
-    (the distractor draws happen only when K > 1, after every existing
-    per-question draw), so the gated corpus and golden fixtures are unchanged.
+    (the K=1 path performs no extra draws at all, keeping its stream
+    identical; verified bitwise against the pre-knob commit), so the gated
+    corpus and golden fixtures are unchanged.
     """
     rng = np.random.default_rng(seed)
     albums: dict[str, Album] = {}
@@ -286,7 +287,27 @@ def make_focal_synthetic(
         r = np.random.default_rng(seed * 7919 + qi)
         if albums_per_question > 1:
             lo, hi = split_lo_hi(owner)
-            pool = [j for j in range(lo, hi) if j != owner]
+            # The regime's core invariant ("the evidence object never appears
+            # in ANY attached album's text; evidence is the ONLY answer
+            # channel") requires that no distractor's DECOY — which saturates
+            # that album's description and photo titles — equals the owner's
+            # planted object. We also exclude distractors whose own planted
+            # OBJECT equals the owner's: such an album would carry the answer
+            # direction in its photo features too, letting the model localize
+            # the answer in the wrong album. If the object-collision exclusion
+            # starves the pool (small splits), it is relaxed first — it is a
+            # task-sharpness preference, not the text-leak invariant.
+            pool = [j for j in range(lo, hi)
+                    if j != owner and album_meta[j][5] != obj
+                    and album_meta[j][4] != obj]
+            if len(pool) < albums_per_question - 1:
+                pool = [j for j in range(lo, hi)
+                        if j != owner and album_meta[j][5] != obj]
+            if len(pool) < albums_per_question - 1:
+                raise ValueError(
+                    f"albums_per_question={albums_per_question}: only "
+                    f"{len(pool)} leak-free distractor candidates in the "
+                    f"owner's split for q{qi}; grow num_albums")
             d_idx = [pool[int(j)] for j in
                      r.choice(len(pool), size=albums_per_question - 1,
                               replace=False)]
