@@ -64,6 +64,13 @@ def main():
     use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0").lower() in (
         "1", "true", "yes")
     _arm_watchdog(float(os.environ.get("FVTA_BENCH_DEADLINE_S", "2700")))
+    # Persistent XLA compile cache (round 4): the recorded bs=8 compile grew
+    # 6.8s (r01) -> 513s (r03) paying cold jits every run; warm-cache compile
+    # seconds per batch size are now part of the JSON artifact.
+    if not os.environ.get("FVTA_NO_COMPILE_CACHE"):
+        from fvta_memexqa_tpu.utils.jit_cache import enable_compile_cache
+
+        enable_compile_cache()
     if record_cpu:
         import jax
 
@@ -234,6 +241,9 @@ def main():
         "platform": platform,
         "pallas": cfg.model.use_pallas,
         "train_pallas": train_pallas,
+        "compile_s_by_bs": {str(r.batch_size): round(r.compile_s, 1)
+                            for r in results},
+        "compile_cache": os.environ.get("JAX_COMPILATION_CACHE_DIR") or None,
         **video,
     }))
 

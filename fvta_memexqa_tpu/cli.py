@@ -774,6 +774,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    # Persistent XLA compile cache on every production surface (round-4 fix:
+    # only the test suite had it; real runs paid multi-minute cold compiles).
+    # Opt out with FVTA_NO_COMPILE_CACHE=1; relocate with FVTA_CACHE_DIR.
+    if not os.environ.get("FVTA_NO_COMPILE_CACHE"):
+        from fvta_memexqa_tpu.utils.jit_cache import enable_compile_cache
+
+        enable_compile_cache()
     if argv and argv[0] in ("train", "test", "ablate"):
         from fvta_memexqa_tpu.parallel.mesh import maybe_initialize_distributed
 

@@ -915,6 +915,14 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
 def main(argv):
     import argparse
 
+    # Serving pays a ~2-min cold jit behind its warmup without the persistent
+    # compile cache (VERDICT r03 Missing #4); cli.main enables it too, but
+    # serve.main is also a direct entry in tests/ops drills.
+    if not os.environ.get("FVTA_NO_COMPILE_CACHE"):
+        from fvta_memexqa_tpu.utils.jit_cache import enable_compile_cache
+
+        enable_compile_cache()
+
     p = argparse.ArgumentParser(prog="fvta serve")
     p.add_argument("packdir")
     p.add_argument("rundir")
