@@ -1,6 +1,8 @@
 """Data layer: tokenizer spec, schema parsing, pack/load round-trip, batching,
 device-side assembly."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -386,6 +388,164 @@ class TestDevicePrepro:
         np.testing.assert_allclose(
             np.asarray(mi.photo_feats)[0, 0, 0], packed_synth.shared.photo_feats[pidx]
         )
+
+
+class TestQuirkRaw:
+    """Checked-in miniature of the raw MemexQA schema (SURVEY.md §2) with
+    realistic dirt — photo_ids missing from the feature npz, unicode/empty
+    text fields, duplicate/empty album ids, references to albums that don't
+    exist, evidence photos that never existed, wrong-typed fields. The day
+    real JSON lands, pack + serve must degrade gracefully with row-scoped
+    errors, never a crash (VERDICT r03 item 8)."""
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "quirk_raw")
+
+    def _feats(self, dim=64, drop=("ph_h_missing", "ph_n0")):
+        """Features for every fixture photo except `drop` (npz holes)."""
+        rng = np.random.default_rng(7)
+        pids = ["ph_c0", "ph_c1", "ph_c2", "ph_u0", "ph_u1", "ph_h0",
+                "ph_h_missing", "ph_h2", "ph_h3", "ph_n0", "ph_d0", "ph_d1",
+                "ph_x0", "ph_t0"]
+        return {p: rng.normal(size=dim).astype(np.float32)
+                for p in pids if p not in drop}
+
+    def test_parse_qas_drops_bad_rows_with_reasons(self):
+        qas, errs = parse_qas(os.path.join(self.FIX, "qas.json"))
+        by_id = {q.question_id: q for q in qas}
+        # 10 rows; exactly the 3-choice row and the answer-not-among-choices
+        # row are dropped, each with a reason naming the defect
+        assert len(qas) == 8 and len(errs) == 2
+        assert any("choices" in e for e in errs)
+        assert any("answer not among choices" in e for e in errs)
+        assert "q_three_choices" not in by_id and "q_answer_missing" not in by_id
+        # unicode survives verbatim
+        assert by_id["q_unicode"].question == "où sommes-nous allés – café søndag 🌉 ?"
+        assert by_id["q_unicode"].answer == "reykjavík"
+        # wrong-typed fields coerce: int question, bare-string album_ids,
+        # legacy "multiple_choices"/"choices" key spellings
+        assert by_id["q_typed"].question == "12345"
+        assert by_id["q_typed"].album_ids == ("a_typed",)
+        assert by_id["q_typed"].choices == ("2017", "2007", "2009", "2011")
+        assert by_id["q_empty_text"].question == ""
+        # evidence ids referencing photos absent from everything still parse
+        assert by_id["q_hole"].evidence_photo_ids == ("ph_h_missing",
+                                                      "ph_never_existed")
+
+    def test_parse_album_info_coerces_and_reports(self):
+        albums, errs = parse_album_info(os.path.join(self.FIX, "album_info.json"))
+        assert len(errs) == 1 and "album_id" in errs[0]
+        assert set(albums) == {"a_clean", "a_unicode", "a_hole", "a_nophotos",
+                               "a_dup", "a_typed"}
+        # duplicate album_id: last occurrence wins, deterministically
+        assert albums["a_dup"].title == "second copy"
+        # wrong-typed fields coerce to strings / tuples
+        t = albums["a_typed"]
+        assert t.title == "42" and t.when == "2017" and t.where == ""
+        assert t.description == "list valued description"
+        assert t.photo_ids == ("ph_t0",)
+        assert t.photo_gps == (None,)  # [7] is not a (lat, lon) pair
+        # per-photo lists align and pad to len(photo_ids)
+        u = albums["a_unicode"]
+        assert u.photo_titles == ("naïve façade été", "")
+        assert u.photo_gps == (None, (64.1, -21.9))  # ["bad","gps"] -> None
+        assert albums["a_hole"].photo_gps == (None,) * 4
+
+    def test_pack_load_with_npz_holes_and_ghost_albums(self, tmp_path):
+        from fvta_memexqa_tpu.data import load_pack, pack
+        from tests.conftest import small_data_config
+
+        qas, _ = parse_qas(os.path.join(self.FIX, "qas.json"))
+        albums, _ = parse_album_info(os.path.join(self.FIX, "album_info.json"))
+        feats = self._feats()
+        meta = pack(qas, albums, feats, {"q_dup"}, None, str(tmp_path),
+                    small_data_config(), val_fraction=0.2, seed=0)
+        packed = load_pack(str(tmp_path))
+        row = {aid: i + 1 for i, aid in enumerate(meta["album_ids"])}
+        sh = packed.shared
+        # a_hole: 4 photo_ids, 1 missing from the npz -> 3 kept, compacted to
+        # a contiguous prefix, titles travelling with their photos in order
+        m = sh.album_photo_mask[row["a_hole"]]
+        assert m.tolist() == [True, True, True, False]
+        # a_nophotos: every photo absent from the npz -> packs, fully masked
+        assert not sh.album_photo_mask[row["a_nophotos"]].any()
+        assert "a_nophotos" in row  # the album itself is still addressable
+        # the ghost album is not a packed album ...
+        assert "a_does_not_exist" not in row
+        # ... but the question referencing it packs with its real album only
+        allq = {qid: (split, i)
+                for split in ("train", "val", "test")
+                for i, qid in enumerate(packed.splits[split]["qid"].tolist())}
+        split, i = allq["q_ghost_album"]
+        amask = packed.splits[split]["album_mask"][i]
+        aidx = packed.splits[split]["album_idx"][i]
+        assert amask.tolist() == [True, False]
+        assert aidx[0] == row["a_clean"]
+        # every kept question made it into exactly one split
+        assert set(allq) == {q.question_id for q in qas}
+        # batches assemble onto the device with no surprises
+        shared = SharedTables.from_packed(sh)
+        batch = device_put_batch(next(iter(
+            Dataset(packed, split).get_batches(4))))
+        mi = assemble(shared, batch)
+        assert np.isfinite(np.asarray(mi.photo_feats)).all()
+
+    def test_wrong_feat_dim_is_a_clear_error(self, tmp_path):
+        from fvta_memexqa_tpu.data import pack
+        from tests.conftest import small_data_config
+
+        qas, _ = parse_qas(os.path.join(self.FIX, "qas.json"))
+        albums, _ = parse_album_info(os.path.join(self.FIX, "album_info.json"))
+        feats = self._feats()
+        feats["ph_c1"] = np.zeros(32, dtype=np.float32)  # wrong dim
+        with pytest.raises(ValueError, match="feat dim"):
+            pack(qas, albums, feats, set(), None, str(tmp_path),
+                 small_data_config(), seed=0)
+
+    def test_serve_ingest_quirk_albums(self, tmp_path):
+        """Raw-path serve ingest of the dirtiest albums (npz holes, all-masked
+        photos, unicode) encodes and answers without crashing."""
+        import jax
+
+        from fvta_memexqa_tpu.config import Config
+        from fvta_memexqa_tpu.data import load_pack, pack
+        from fvta_memexqa_tpu.models.fvta import FVTAModel
+        from fvta_memexqa_tpu.serve import AlbumStore, QAEngine, vocab_view
+        from tests.conftest import small_data_config
+
+        qas, _ = parse_qas(os.path.join(self.FIX, "qas.json"))
+        albums, _ = parse_album_info(os.path.join(self.FIX, "album_info.json"))
+        feats = self._feats()
+        pack(qas, albums, feats, {"q_dup"}, None, str(tmp_path),
+             small_data_config(), val_fraction=0.2, seed=0)
+        packed = load_pack(str(tmp_path))
+        cfg = Config()
+        cfg = cfg.replace(data=packed.cfg,
+                          model=cfg.model.__class__(hidden_dim=8, char_emb_dim=4,
+                                                    char_cnn_filters=8))
+        shared = SharedTables.from_packed(packed.shared)
+        mi = assemble(shared, device_put_batch(next(iter(
+            Dataset(packed, "train").get_batches(2)))))
+        model = FVTAModel(cfg=cfg)
+        params = jax.jit(lambda k: model.init(k, shared, mi, train=False))(
+            jax.random.key(0))
+        store = AlbumStore(cfg, model, params, shared, vocab_view(packed.meta))
+        for aid in ("a_clean", "a_unicode", "a_hole", "a_nophotos"):
+            store.ingest(albums[aid], feats)
+        assert store.num_albums == 4
+        engine = QAEngine(store, batch_size=1, batch_window_ms=1.0)
+        try:
+            res = engine.ask("where did we go on the harbor trip ?",
+                             ["lisbon", "oslo", "quito", "cairo"],
+                             ["a_clean", "a_nophotos", "a_ghost"])
+            assert res["albums_found"] == 2  # ghost reported, not fatal
+            assert abs(sum(res["probs"]) - 1.0) < 1e-4
+            # unicode album answers through the cached path too
+            res = engine.ask("où sommes-nous allés ?",
+                             ["reykjavík", "lisbon", "oslo", "quito"],
+                             ["a_unicode"])
+            assert res["albums_found"] == 1
+        finally:
+            engine.close()
 
 
 def test_modalities_constant():
