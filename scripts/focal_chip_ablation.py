@@ -63,6 +63,8 @@ def main():
     if os.environ.get("FVTA_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    from fvta_memexqa_tpu.utils.jit_cache import enable_compile_cache
+    enable_compile_cache()  # seeds/variants share shapes; skip repeat compiles
 
     import jax
     import numpy as np
