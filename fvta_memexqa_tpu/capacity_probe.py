@@ -171,6 +171,8 @@ def main(argv=None):
     if os.environ.get("FVTA_PLATFORM"):
         # the axon plugin ignores JAX_PLATFORMS; only the config knob works
         jax.config.update("jax_platforms", os.environ["FVTA_PLATFORM"])
+    from fvta_memexqa_tpu.utils.jit_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="fvta capacity_probe")
     p.add_argument("--cp-only", action="store_true")
     p.add_argument("--batch", type=int, default=8)

@@ -466,12 +466,21 @@ def _pick_tblock(t: int, s: int = 8, j: int = 32, max_block: int = 512,
     rejects the kernel at T where the unfused XLA path still runs. The 4MB
     c-budget keeps every measured-good config at its current block (48*512*30
     = 2.95MB) and shrinks exactly the configs that failed (8*512*512 = 8.4MB
-    caps to Tb=256, and both 256 and 128 are verified to run on chip)."""
+    caps to Tb=256, and both 256 and 128 are verified to run on chip).
+
+    Lane constraint: Mosaic requires a blocked LAST dimension to be a
+    multiple of 128 (or the whole axis). The budget cap must not override
+    that — the streaming backward's tighter 1MB budget at J=512 capped the
+    block at 64 and the lowering ValueError'd (found by the round-4
+    training-capacity probe). When no divisor of t satisfies both, the lane
+    rule wins: take 128 (smallest valid block, over-budget by design — a
+    VMEM OOM there is a truthful capacity answer, a lowering crash is not),
+    or the whole axis when t itself isn't lane-aligned."""
     cap = max(1, c_budget_bytes // (4 * s * j))
     for cand in range(min(t, max_block, cap), 0, -1):
-        if t % cand == 0:
+        if t % cand == 0 and (cand % 128 == 0 or cand == t):
             return cand
-    return t
+    return 128 if t % 128 == 0 else t
 
 
 def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: dict,

@@ -257,6 +257,24 @@ class TestFVTAStreamingDispatch:
         assert _pick_tblock(4096, s=8, j=512) <= 256   # long-J: capped
         assert 4096 % _pick_tblock(4096, s=8, j=512) == 0
 
+    def test_pick_tblock_lane_valid(self):
+        """Mosaic's lane rule: a blocked last dim must be a multiple of 128
+        or the whole axis — the budget cap may never override it. Regression
+        for the round-4 training-capacity probe crash: the streaming
+        backward's 1MB budget at J=512 capped the block at 64 and the
+        pallas_call lowering ValueError'd on chip."""
+        from fvta_memexqa_tpu.ops.fvta_pallas import _pick_tblock
+
+        for t in (24, 128, 192, 512, 8192, 65536):
+            for j in (30, 512):
+                for s in (8, 48):
+                    for budget in (1 << 20, 4 << 20):
+                        tb = _pick_tblock(t, s=s, j=j, c_budget_bytes=budget)
+                        assert t % tb == 0 or tb == t, (t, j, s, budget, tb)
+                        assert tb % 128 == 0 or tb == t, (t, j, s, budget, tb)
+        # the probe's exact crash shape: J=512, s_pad=8, backward budget
+        assert _pick_tblock(8192, s=8, j=512, c_budget_bytes=1 << 20) == 128
+
 
 class TestFVTAStreamingBackward:
     """Long-T streaming BACKWARD (the fused stats backward kernels): when the
