@@ -495,18 +495,22 @@ def fvta_attention_pallas(h, ctx_mask, q, q_mask, similarity: str, sim_params: d
     if similarity not in ("trilinear", "dot"):
         c = similarity_tensor(h, q, similarity, sim_params)
         return fvta_attention(h, ctx_mask, q, q_mask, c)
-    t, s = h.shape[2], h.shape[1]
-    tb = tblock or _pick_tblock(t, s=max(s, 8), j=q.shape[1])
+    t, s, j = h.shape[2], h.shape[1], q.shape[1]
+    tb = tblock or _pick_tblock(t, s=max(s, 8), j=j)
     streaming = t // tb > _FINALIZE_MAX_BLOCKS
     # Dispatch: the fused kernel wins when the modality axis is wide (MemexQA:
-    # S = albums x 6). For thin-S SHORT-sequence shapes (TGIF-style S<8) the
-    # S-padding required by Mosaic sublane rules costs more than the fusion
-    # saves and the XLA path is memory-cheap, so use it there. At thin-S
-    # LONG T the calculus flips: the XLA path's [N, S, T, J] correlation is
-    # the capacity limit and the streaming stats path (which pads S
-    # internally) keeps VMEM at O(Tb) and HBM linear in T — so thin-S shapes
-    # stream too once past the block-count threshold.
-    if s < 8 and not streaming:
+    # S = albums x 6). For thin-S shapes (TGIF-style S<8) the Mosaic sublane
+    # rules force padding S up to 8, which costs (8-s)*D extra HBM bytes per
+    # time step (h and, under grad, dh/dh_direct too); the XLA path's extra
+    # allocation is its s*J correlation slab. So a thin-S shape streams ONLY
+    # when the correlation actually dominates the padding — long-question
+    # regimes, (8-s)*D < s*J. At J <= D thin-S the XLA path's capacity is
+    # strictly larger: the round-4 grad capacity probe measured XLA reaching
+    # T=2,097,152 at (S=1, J=30, D=200) where the padded streaming path
+    # OOM'd at its first probe point T=16,384 (BASELINE.md training-capacity
+    # table) — the old block-count-only rule sent exactly that shape to the
+    # kernel.
+    if s < 8 and not (streaming and (8 - s) * d < s * j):
         c = similarity_tensor(h, q, similarity, sim_params)
         return fvta_attention(h, ctx_mask, q, q_mask, c)
     if streaming:

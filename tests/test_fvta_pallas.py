@@ -225,14 +225,22 @@ class TestFVTAStreamingDispatch:
         out = focal_finalize(m, den, v, eq, e, q, qm, cm.any(-1))
         assert_close(out, ref_out(h, cm, q, qm, p))
 
-    def test_thin_s_long_t_streams(self):
-        """TGIF-style thin S at LONG T must take the streaming path through
-        the PUBLIC entry (stats mode S-pads internally) — the XLA fallback's
-        [N, S, T, J] correlation is exactly the long-T capacity limit the
-        streaming form exists to remove. Forward and grads match the ref."""
-        h, cm, q, qm, p = make_case(s=2, t=64, seed=30)
+    def test_thin_s_long_t_streams(self, monkeypatch):
+        """Thin S at LONG T with a LONG question must take the streaming path
+        through the PUBLIC entry (stats mode S-pads internally) — there the
+        XLA fallback's [N, S, T, J] correlation dominates the padding cost
+        ((8-s)*D < s*J) and is the capacity limit the streaming form removes.
+        Forward and grads match the ref."""
+        from fvta_memexqa_tpu.ops import fvta_pallas as fp
+
+        called = []
+        orig = fp.fvta_stats_pallas
+        monkeypatch.setattr(fp, "fvta_stats_pallas",
+                            lambda *a, **k: called.append(1) or orig(*a, **k))
+        h, cm, q, qm, p = make_case(s=2, t=64, j=24, seed=30)  # (8-2)*6 < 2*24
         assert_close(fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=2),
                      ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-5)
+        assert called, "long-question thin-S long-T case must stream"
 
         def loss(fn):
             def f(h_, q_, p_):
@@ -247,6 +255,25 @@ class TestFVTAStreamingDispatch:
         for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_thin_s_small_j_long_t_stays_xla(self, monkeypatch):
+        """Thin S with a SMALL question must NOT stream even at long T: the
+        kernel's S-padding ((8-s)*D bytes per time step, and dh/dh_direct
+        too under grad) dwarfs the XLA path's s*J correlation. Measured on
+        chip (round-4 training-capacity probe): at S=1/J=30/D=200 the XLA
+        path trains to T=2,097,152 while the padded streaming path OOM'd at
+        its first probe point T=16,384 — the old block-count-only dispatch
+        sent exactly that shape to the kernel."""
+        from fvta_memexqa_tpu.ops import fvta_pallas as fp
+
+        called = []
+        orig = fp.fvta_stats_pallas
+        monkeypatch.setattr(fp, "fvta_stats_pallas",
+                            lambda *a, **k: called.append(1) or orig(*a, **k))
+        h, cm, q, qm, p = make_case(s=2, t=64, seed=31)  # j=5: (8-2)*6 >= 2*5
+        out = fvta_attention_pallas(h, cm, q, qm, "trilinear", p, tblock=2)
+        assert not called, "small-J thin-S must take the XLA path"
+        assert_close(out, ref_out(h, cm, q, qm, p), rtol=1e-4, atol=1e-5)
 
     def test_pick_tblock_vmem_budget(self):
         """Long-question shapes must shrink the time block: 8*512*512 f32
