@@ -229,7 +229,7 @@ def _qcnt_kernel(h_ref, cm_ref, q_ref, wx_ref, wy_ref, wxy_ref, eq_ref,
 
 
 def _bwd_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
-                de_ref, geq_ref, eq_ref, qcnt_ref,
+                de_ref, geq_ref, eq_ref, qcnt_ref, e_ref, m_ref, gv_ref,
                 dh_ref, dq_ref, dwx_ref, dwy_ref, dwxy_ref,
                 dq_acc, dwx_acc, dwy_acc, dwxy_acc, *, num_tblocks: int):
     """Streaming stats backward: recomputes the block's correlation (flash-style
@@ -237,8 +237,13 @@ def _bwd_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
     question-word max (tie-split, block-local) and the question-side cotangent
     `geq` through the (s, t) max (tie-split by the pre-counted global qcnt),
     then turns dC into dh (streamed per block) and dq/dw* (VMEM accumulators,
-    emitted per example on the last block). O(Tb) VMEM — long-T training no
-    longer materializes the [N, S, T, J] correlation the XLA-remat VJP needs."""
+    emitted per example on the last block). The v-path term of dh
+    (p·gv, p = exp(e - m) from the SAVED forward scores) is accumulated
+    in-kernel too: materializing it XLA-side as a standalone [N, S, T, D]
+    buffer plus a post-kernel add held the training-capacity probe at XLA's
+    own OOM point (round 4 — two extra O(T·D) HBM slabs). O(Tb) VMEM —
+    long-T training no longer materializes the [N, S, T, J] correlation the
+    XLA-remat VJP needs, nor any O(T·D) temp beyond dh itself."""
     tb_i = pl.program_id(1)
     s, tb, d = h_ref.shape[1], h_ref.shape[2], h_ref.shape[3]
     j = q_ref.shape[1]
@@ -284,7 +289,11 @@ def _bwd_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
     dh = jax.lax.dot_general(dcf, q * wxy_ref[0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dh = dh + rowsum * wx_ref[0]
-    dh_ref[0] = dh.reshape(s, tb, d)
+    # v-path dh term: p = exp(e - m) with the saved forward scores/max —
+    # bitwise the factor the XLA prologue would have formed (padded rows
+    # carry e = NEG, m = 0, so p = 0 and they contribute nothing).
+    p_blk = jnp.exp(e_ref[0] - m_ref[0].reshape(s, 1))          # [S, Tb]
+    dh_ref[0] = dh.reshape(s, tb, d) + p_blk[:, :, None] * gv_ref[0][:, None, :]
     tmp = jax.lax.dot_general(dcf, hf, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)        # [J, D]
     dq_acc[:] = dq_acc[:] + tmp * wxy_ref[0] + colsum * wy_ref[0]
@@ -303,7 +312,7 @@ def _bwd_kernel(h_ref, cm_ref, q_ref, qm_ref, wx_ref, wy_ref, wxy_ref,
 
 
 def _fvta_bwd_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq,
-                          tblock: int, interpret: bool):
+                          e, m, gv, tblock: int, interpret: bool):
     n, s, t, d = h.shape
     j = q.shape[1]
     nt = t // tblock
@@ -326,13 +335,19 @@ def _fvta_bwd_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq,
         scratch_shapes=[pltpu.VMEM((1, j), jnp.float32)],
         interpret=interpret,
     )(h, cm_f, q, wx, wy, wxy, eq)
+    st_in = pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM)
     dh, dq, dwx, dwy, dwxy = pl.pallas_call(
         functools.partial(_bwd_kernel, num_tblocks=nt),
         grid=(n, nt),
         in_specs=common_in + [nj_in] + w_in + [
-            pl.BlockSpec((1, s, tblock), lambda ni, ti: (ni, 0, ti),
-                         memory_space=pltpu.VMEM),          # de
+            st_in,                                          # de
             nj_in, nj_in, nj_in,                            # geq, eq, qcnt
+            st_in,                                          # e (saved scores)
+            pl.BlockSpec((1, 1, s), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),          # m (saved max)
+            pl.BlockSpec((1, s, d), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),          # gv (v cotangent)
         ],
         out_specs=[
             pl.BlockSpec((1, s, tblock, d), lambda ni, ti: (ni, 0, ti, 0),
@@ -360,7 +375,7 @@ def _fvta_bwd_pallas_call(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq,
             pltpu.VMEM((1, d), jnp.float32),
         ],
         interpret=interpret,
-    )(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq, qcnt)
+    )(h, cm_f, q, qm_f, wx, wy, wxy, de, geq, eq, qcnt, e, m, gv)
     return dh, dq, dwx[:, 0], dwy[:, 0], dwxy[:, 0]
 
 
@@ -674,9 +689,12 @@ def _stats_bwd(tblock, interpret, res, g):
     tie_m = (e == m[..., None]).astype(e.dtype)
     cnt_m = jnp.sum(tie_m, axis=-1, keepdims=True)
     de = ge + p * dp + tie_m * (dm_tot[..., None] / cnt_m)
-    dh_direct = p[..., None] * gv[:, :, None, :]
+    # The v-path dh term p·gv is accumulated INSIDE the backward kernel from
+    # the saved (e, m): forming it here as a standalone [N, S, T, D] buffer
+    # plus a post-kernel add kept two extra O(T·D) HBM slabs live and held
+    # the training-capacity probe at XLA's own OOM point (round 4).
 
-    hk, cmk, dek = h, cm_f, de
+    hk, cmk, dek, ek, mk, gvk = h, cm_f, de, e, m, gv
     if s_pad != s:
         hk = jnp.pad(hk, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         # pad rows get cm = -1.0: their masked correlation lands at -2e30,
@@ -686,13 +704,20 @@ def _stats_bwd(tblock, interpret, res, g):
         cmk = jnp.pad(cmk, ((0, 0), (0, s_pad - s), (0, 0)),
                       constant_values=-1.0)
         dek = jnp.pad(dek, ((0, 0), (0, s_pad - s), (0, 0)))
+        # pad rows: e = NEG with m = 0 makes the in-kernel p = exp(e - m)
+        # exactly 0 — no contribution, sliced off anyway
+        ek = jnp.pad(ek, ((0, 0), (0, s_pad - s), (0, 0)),
+                     constant_values=NEG)
+        mk = jnp.pad(mk, ((0, 0), (0, s_pad - s)))
+        gvk = jnp.pad(gvk, ((0, 0), (0, s_pad - s), (0, 0)))
     # tighter block budget than the forward: the backward keeps ~4-6 live
     # [S, Tb, J] temporaries (c, masked forms, tie masks, dC) vs the forward's ~3
     tb = _pick_tblock(t, s=s_pad, j=j, c_budget_bytes=1 << 20)
     dh_k, dq, dwx_n, dwy_n, dwxy_n = _fvta_bwd_pallas_call(
         hk, cmk, q, qm_f[:, None, :], wx[None], wy[None], wxy[None],
-        dek, geq[:, None, :], eq[:, None, :], tb, interpret)
-    dh = dh_direct + dh_k[:, :s]
+        dek, geq[:, None, :], eq[:, None, :],
+        ek, mk[:, None, :], gvk, tb, interpret)
+    dh = dh_k[:, :s]
     return (dh, jnp.zeros_like(cm_f), dq, jnp.zeros_like(qm_f),
             dwx_n.sum(0), dwy_n.sum(0), dwxy_n.sum(0))
 
