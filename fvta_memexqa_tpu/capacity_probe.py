@@ -94,19 +94,27 @@ def _run_at_t(t: int, use_pallas: bool, batch: int, j: int, d: int,
 
 def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
                     t_start: int = 1 << 14, t_cap: int = 1 << 22,
-                    grad: bool = False) -> dict:
-    """Doubling search: largest T that runs / first T that OOMs, per path."""
+                    grad: bool = False,
+                    t_list: list[int] | None = None) -> dict:
+    """Doubling search: largest T that runs / first T that OOMs, per path.
+
+    `t_list` replaces the doubling sequence with explicit probe points — the
+    finer-than-doubling grid that separated the two training-capacity paths
+    at J=512 (XLA last-ok 98,304 vs streaming 114,688; BASELINE.md round-4
+    follow-up) sits BETWEEN doubling steps, where the default search reports
+    a tie."""
     results = {}
     for use_pallas in (False, True):
         name = "pallas" if use_pallas else "xla"
         last_ok, first_oom = None, None
-        t = t_start
+        ts = iter(t_list) if t_list else None
+        t = next(ts) if ts else t_start
         while t <= t_cap:
             try:
                 _run_at_t(t, use_pallas, batch, j, d, s, grad=grad)
                 last_ok = t
                 print(f"[{name}] T={t}: ok", flush=True)
-                t *= 2
+                t = next(ts, t_cap + 1) if ts else t * 2
             except Exception as e:
                 # OOM surfaces in several shapes (RESOURCE_EXHAUSTED, the
                 # buffer-assignment dump "Attempting to reserve/allocate",
@@ -184,15 +192,21 @@ def main(argv=None):
                    help="modality/sequence axis; >=8 or the fused kernel "
                         "dispatches to XLA and the probe measures XLA twice")
     p.add_argument("--t-start", type=int, default=1 << 14)
+    p.add_argument("--t-list", type=str, default=None,
+                   help="comma-separated explicit T probe points (ascending) "
+                        "instead of the doubling search — the fine grid that "
+                        "separates paths between doubling steps")
     p.add_argument("--grad", action="store_true",
                    help="probe a full backward (training capacity) instead of "
                         "the forward")
     args = p.parse_args(sys.argv[1:] if argv is None else argv)
     out = {}
     if not args.cp_only:
+        t_list = ([int(x) for x in args.t_list.split(",")]
+                  if args.t_list else None)
         out["largest_t"] = probe_largest_t(batch=args.batch, j=args.j, d=args.d,
                                            s=args.s, t_start=args.t_start,
-                                           grad=args.grad)
+                                           grad=args.grad, t_list=t_list)
     if len(jax.devices()) >= 8:
         out["cp_memory"] = cp_memory_table()
     else:

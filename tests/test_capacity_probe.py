@@ -34,6 +34,31 @@ def test_pallas_probe_hits_fused_path(monkeypatch):
     assert called.get("hit"), "probe shapes dispatched away from the fused kernel"
 
 
+def test_explicit_t_list_replaces_doubling():
+    """--t-list probes exactly the given points (the fine grid that separated
+    the training-capacity paths between doubling steps; BASELINE.md round-4)."""
+    from fvta_memexqa_tpu.capacity_probe import probe_largest_t
+
+    seen = []
+    import fvta_memexqa_tpu.capacity_probe as cp
+
+    real = cp._run_at_t
+
+    def spy(t, use_pallas, *a, **k):
+        seen.append(t)
+        return real(t, use_pallas, *a, **k)
+
+    orig = cp._run_at_t
+    cp._run_at_t = spy
+    try:
+        out = probe_largest_t(batch=1, j=16, d=16, s=8, t_list=[64, 128])
+    finally:
+        cp._run_at_t = orig
+    assert seen == [64, 128, 64, 128]  # both paths, exactly the listed points
+    assert out["xla"]["last_ok_t"] == 128 and out["xla"]["first_oom_t"] is None
+    assert out["pallas"]["last_ok_t"] == 128
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
 def test_cp_memory_table_reports_reduction():
     out = cp_memory_table(t=4096, batch=2, j=30, d=64, devices=8)
