@@ -98,6 +98,23 @@ def main():
         print(json.dumps(rec))
         return
 
+    # Pay first-TPU-contact BEFORE any timed section. Through the axon tunnel
+    # a bare 8x8 matmul costs 100-360+ s (measured 107/221/363 s in three
+    # round-4 probes) and lands on whatever blocks on device first — it is
+    # what the recorded bs=8 "compile 6.8s (r01) -> 513s (r03)" actually was
+    # (bs=64/256 stayed ~6-8 s flat: the HLO never grew; BASELINE.md
+    # "The bs=8 compile mystery"). Isolate it as its own artifact field.
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = _time.perf_counter()
+    np.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+    first_contact_s = _time.perf_counter() - t0
+    _partial["first_contact_s"] = round(first_contact_s, 1)
+    print(f"first device contact: {first_contact_s:.1f}s", file=sys.stderr)
+
     results = bench_inference(cfg, batch_sizes=(8, 64, 256))
     best = max(results, key=lambda r: r.qa_pairs_per_sec)
     b8 = next(r for r in results if r.batch_size == 8)
@@ -243,6 +260,7 @@ def main():
         "train_pallas": train_pallas,
         "compile_s_by_bs": {str(r.batch_size): round(r.compile_s, 1)
                             for r in results},
+        "first_contact_s": round(first_contact_s, 1),
         "compile_cache": os.environ.get("JAX_COMPILATION_CACHE_DIR") or None,
         **video,
     }))
