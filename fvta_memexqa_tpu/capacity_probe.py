@@ -140,8 +140,15 @@ def probe_largest_t(batch: int = 8, j: int = 512, d: int = 200, s: int = 8,
 
 
 def cp_memory_table(t: int = 65536, batch: int = 2, j: int = 30, d: int = 200,
-                    devices: int = 8) -> dict:
-    """Per-device compiled memory, unsharded vs CP over `devices` (virtual ok)."""
+                    devices: int = 8, grad: bool = False) -> dict:
+    """Per-device compiled memory, unsharded vs CP over `devices` (virtual ok).
+
+    grad=True compiles the full backward (d(loss)/d(h, q, params)) instead —
+    the measured form of the round-4 training-capacity conclusion: past the
+    single-chip h+dh materialization floor (13.4 GB at T=131k, J=512), more
+    trainable T comes from sharding h AND dh over the ctx axis, not from
+    kernel work. h arrives device-sharded from the CP encoder and dh leaves
+    the same way, so per-device bytes fall ~1/devices end to end."""
     import numpy as np
 
     from fvta_memexqa_tpu.config import MeshConfig
@@ -159,15 +166,25 @@ def cp_memory_table(t: int = 65536, batch: int = 2, j: int = 30, d: int = 200,
     def stats(compiled):
         ma = compiled.memory_analysis()
         return {"argument_mb": round(ma.argument_size_in_bytes / 2**20, 2),
+                "output_mb": round(ma.output_size_in_bytes / 2**20, 2),
                 "temp_mb": round(ma.temp_size_in_bytes / 2**20, 2)}
 
     local_fn = _attention_fn(False)
-    c_local = jax.jit(local_fn).lower(h, cm, q, qm, params).compile()
+
+    def wrap(fn):
+        if not grad:
+            return fn
+        return lambda h_, cm_, q_, qm_, p_: jax.grad(
+            lambda hh, qq, pp: fn(hh, cm_, qq, qm_, pp).sum(),
+            argnums=(0, 1, 2))(h_, q_, p_)
+
+    c_local = jax.jit(wrap(local_fn)).lower(h, cm, q, qm, params).compile()
     mesh = make_mesh(MeshConfig(data_parallel=1, context_parallel=devices))
     cp = make_cp_attention(mesh, "trilinear")
     hs, cms = shard_context(mesh, h, cm)
-    c_cp = jax.jit(lambda *a: cp(*a).context).lower(hs, cms, q, qm, params).compile()
-    return {"t": t, "devices": devices,
+    c_cp = jax.jit(wrap(lambda *a: cp(*a).context)).lower(
+        hs, cms, q, qm, params).compile()
+    return {"t": t, "devices": devices, "grad": grad,
             "local_per_device": stats(c_local), "cp_per_device": stats(c_cp)}
 
 
@@ -208,7 +225,7 @@ def main(argv=None):
                                            s=args.s, t_start=args.t_start,
                                            grad=args.grad, t_list=t_list)
     if len(jax.devices()) >= 8:
-        out["cp_memory"] = cp_memory_table()
+        out["cp_memory"] = cp_memory_table(grad=args.grad)
     else:
         out["cp_memory"] = "skipped: needs 8 devices (run with FVTA_PLATFORM=cpu " \
                            "+ xla_force_host_platform_device_count=8)"

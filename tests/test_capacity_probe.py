@@ -68,6 +68,19 @@ def test_cp_memory_table_reports_reduction():
     assert local["temp_mb"] > cp["temp_mb"] * 2
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_cp_memory_table_grad_reports_reduction():
+    """The round-4 training-capacity conclusion, measured: past the single-chip
+    h+dh floor, trainable T scales by sharding h AND dh over the ctx axis —
+    per-device argument AND temp bytes of the FULL backward drop with the mesh."""
+    out = cp_memory_table(t=4096, batch=2, j=30, d=64, devices=8, grad=True)
+    local, cp = out["local_per_device"], out["cp_per_device"]
+    assert local["argument_mb"] > cp["argument_mb"] * 4
+    # dh (same bytes as h) leaves device-sharded too
+    assert local["output_mb"] > cp["output_mb"] * 4
+    assert local["temp_mb"] > cp["temp_mb"] * 2
+
+
 def test_grad_probe_both_paths_run_small_t():
     """Training-capacity probe (--grad): both paths' backwards execute; T is
     chosen so the fused path's block count exceeds _FINALIZE_MAX_BLOCKS and
