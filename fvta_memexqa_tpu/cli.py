@@ -410,6 +410,10 @@ def cmd_video_prepro(argv):
     p.add_argument("--test-ids", default=None)
     p.add_argument("--glove", default=None)
     p.add_argument("--num-choices", type=int, default=5)
+    p.add_argument("--task", default="mc", choices=["mc", "count", "frameqa"],
+                   help="TGIF-QA task: mc (Action/Transition: choices + "
+                        "answer_idx), count (answer_count regression), "
+                        "frameqa (answer-string classification)")
     p.add_argument("--max-frames", type=int, default=64)
     p.add_argument("--shard-size", type=int, default=256)
     p.add_argument("--val-fraction", type=float, default=0.1)
@@ -420,7 +424,7 @@ def cmd_video_prepro(argv):
     from fvta_memexqa_tpu.data.vocab import load_glove
 
     cfg = _dc_from_args(args, DataConfig)
-    qas, errs = parse_video_qas(args.qas)
+    qas, errs = parse_video_qas(args.qas, task=args.task)
     for e in errs[:20]:
         print(f"video-prepro warning: {e}", file=sys.stderr)
     test_ids = set()
@@ -432,9 +436,12 @@ def cmd_video_prepro(argv):
     meta = pack_video(qas, feats, test_ids, glove, args.outdir, cfg,
                       num_choices=args.num_choices, max_frames=args.max_frames,
                       shard_size=args.shard_size,
-                      val_fraction=args.val_fraction, seed=args.seed)
+                      val_fraction=args.val_fraction, seed=args.seed,
+                      task=args.task)
     print(json.dumps({"splits": meta["split_sizes"],
                       "dropped": meta["dropped"],
+                      "task": meta["task"],
+                      "answer_vocab_size": len(meta["answer_vocab"]),
                       "vocab": meta["data_config"]["word_vocab_size"],
                       "max_frames": meta["max_frames"]}))
 
@@ -454,6 +461,9 @@ def cmd_video(argv):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--encoder", default="dilated_conv",
                    choices=["dilated_conv", "bilstm"])
+    p.add_argument("--task", default="mc", choices=["mc", "count", "frameqa"],
+                   help="TGIF-QA task head (synthetic demo; --data packs "
+                        "carry their task in meta.json)")
     p.add_argument("--hidden-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cp", type=int, default=1,
@@ -483,11 +493,12 @@ def cmd_video(argv):
     )
     vi, _ = make_synthetic_video(cfg, num_videos=args.num_videos,
                                  num_frames=args.num_frames,
-                                 num_choices=args.num_choices, seed=args.seed)
+                                 num_choices=args.num_choices, seed=args.seed,
+                                 task=args.task)
     vi_test, _ = make_synthetic_video(cfg, num_videos=max(args.num_videos // 4, 8),
                                       num_frames=args.num_frames,
                                       num_choices=args.num_choices,
-                                      seed=args.seed + 1)
+                                      seed=args.seed + 1, task=args.task)
     rng = np.random.default_rng(args.seed)
     d = cfg.data
     shared = SharedTables(
@@ -505,7 +516,8 @@ def cmd_video(argv):
         album_text_mask=jnp.zeros((1, 4, 1), bool),
     )
     model = VideoFVTAModel(cfg=cfg, num_choices=args.num_choices,
-                           temporal_encoder=args.encoder)
+                           temporal_encoder=args.encoder, task=args.task,
+                           num_answers=8 if args.task == "frameqa" else 0)
     params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
         jax.random.key(args.seed))
     cp_attn = _make_video_cp(args.cp, args.num_frames, cfg)
@@ -526,12 +538,21 @@ def cmd_video(argv):
         if (i + 1) % 50 == 0:
             print(f"[video] step={i+1} loss={float(loss):.4f} "
                   f"train_acc={float(acc):.4f}", file=sys.stderr)
-    _, test_m = video_loss(model, params, shared, vi_test, None, False, cp_attn)
-    print(json.dumps({
-        "encoder": args.encoder, "num_frames": args.num_frames,
+    test_l, test_m = video_loss(model, params, shared, vi_test, None, False,
+                                cp_attn)
+    out = {
+        "encoder": args.encoder, "task": args.task,
+        "num_frames": args.num_frames,
         "train_acc": float(acc), "heldout_acc": float(test_m["acc"]),
-        "chance": 1.0 / args.num_choices, "cp": args.cp,
-    }))
+        "cp": args.cp,
+    }
+    if args.task == "count":
+        out["heldout_mse"] = float(test_l)
+    elif args.task == "frameqa":
+        out["chance"] = 1.0 / 8
+    else:
+        out["chance"] = 1.0 / args.num_choices
+    print(json.dumps(out))
 
 
 def cmd_synth_video(argv):
@@ -543,6 +564,7 @@ def cmd_synth_video(argv):
     p.add_argument("--num-frames", type=int, default=32)
     p.add_argument("--feat-dim", type=int, default=64)
     p.add_argument("--num-choices", type=int, default=5)
+    p.add_argument("--task", default="mc", choices=["mc", "count", "frameqa"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.data.video_pack import (make_synthetic_video_raw,
@@ -550,10 +572,11 @@ def cmd_synth_video(argv):
 
     qas, feats, test_ids = make_synthetic_video_raw(
         num_videos=args.num_videos, num_frames=args.num_frames,
-        feat_dim=args.feat_dim, num_choices=args.num_choices, seed=args.seed)
+        feat_dim=args.feat_dim, num_choices=args.num_choices, seed=args.seed,
+        task=args.task)
     write_raw_video_files(args.outdir, qas, feats, test_ids)
     print(json.dumps({"outdir": args.outdir, "videos": args.num_videos,
-                      "test": len(test_ids)}))
+                      "task": args.task, "test": len(test_ids)}))
 
 
 def _make_video_cp(cp: int, num_frames: int, cfg):
@@ -584,13 +607,15 @@ def _video_from_pack(args):
     from fvta_memexqa_tpu.models.video import VideoFVTAModel, video_loss
 
     dcfg, meta, shared_np = load_video_meta(args.data)
+    task = meta.get("task", "mc")  # packs predating task heads are mc
     cfg = Config(data=dcfg,
                  model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=8,
                                    char_cnn_filters=16, keep_prob=1.0,
                                    vocab_embed=True))
     shared = video_shared_tables(dcfg, shared_np)
     model = VideoFVTAModel(cfg=cfg, num_choices=meta["num_choices"],
-                           temporal_encoder=args.encoder)
+                           temporal_encoder=args.encoder, task=task,
+                           num_answers=len(meta.get("answer_vocab", [])))
     train_ds = VideoDataset(args.data, "train")
     test_ds = VideoDataset(args.data, "test")
 
@@ -618,10 +643,23 @@ def _video_from_pack(args):
 
     @jax.jit
     def eval_counts(p, vi):
+        """→ (correct, sq_err, count): task-appropriate exact-match numerator
+        plus the count-task squared error (MSE is TGIF-QA's count metric)."""
         out = model.apply(p, shared, vi, train=False, cp_attention=cp_attn)
         w = vi.ex_mask.astype(jnp.float32)
-        correct = ((jnp.argmax(out.logits, -1) == vi.label) * w).sum()
-        return correct, w.sum()
+        if task == "count":
+            from fvta_memexqa_tpu.models.video import COUNT_MAX, COUNT_MIN
+
+            pred = out.logits[:, 0]
+            err = pred - vi.label.astype(pred.dtype)
+            rounded = jnp.clip(jnp.round(pred), COUNT_MIN,
+                               COUNT_MAX).astype(jnp.int32)
+            correct = ((rounded == vi.label) * w).sum()
+            return correct, (err * err * w).sum(), w.sum()
+        hit = jnp.argmax(out.logits, -1) == vi.label
+        if task == "frameqa":
+            hit = hit & (vi.label >= 0)  # OOV answers always score wrong
+        return (hit * w).sum(), jnp.zeros(()), w.sum()
 
     done, epoch = 0, 0
     loss = acc = 0.0
@@ -637,16 +675,24 @@ def _video_from_pack(args):
             if done >= args.steps:
                 break
         epoch += 1
-    correct = total = 0.0
+    correct = sq_err = total = 0.0
     for vi in test_ds.get_batches(args.batch_size):
-        c, t = eval_counts(params, jax.tree.map(jnp.asarray, vi))
+        c, se, t = eval_counts(params, jax.tree.map(jnp.asarray, vi))
         correct += float(c)
+        sq_err += float(se)
         total += float(t)
-    print(json.dumps({
-        "encoder": args.encoder, "data": args.data, "steps": done,
-        "train_acc": float(acc), "heldout_acc": correct / max(total, 1.0),
-        "chance": 1.0 / meta["num_choices"], "test_count": int(total),
-    }))
+    out = {
+        "encoder": args.encoder, "task": task, "data": args.data,
+        "steps": done, "train_acc": float(acc),
+        "heldout_acc": correct / max(total, 1.0), "test_count": int(total),
+    }
+    if task == "count":
+        out["heldout_mse"] = sq_err / max(total, 1.0)
+    elif task == "frameqa":
+        out["answer_vocab_size"] = len(meta.get("answer_vocab", []))
+    else:
+        out["chance"] = 1.0 / meta["num_choices"]
+    print(json.dumps(out))
 
 
 def cmd_synth(argv):

@@ -38,9 +38,16 @@ from fvta_memexqa_tpu.data.tokenize import tokenize, word_to_char_ids
 from fvta_memexqa_tpu.data.vocab import Vocab
 
 
-def parse_video_qas(path: str) -> tuple[list[dict], list[str]]:
-    """qas.jsonl → (valid rows, error strings). A row must carry a question,
-    ≥2 choices, and an in-range answer_idx."""
+def parse_video_qas(path: str, task: str = "mc") -> tuple[list[dict], list[str]]:
+    """qas.jsonl → (valid rows, error strings), validated per TGIF-QA task:
+
+    - task="mc"      rows carry choices (>=2) + in-range answer_idx
+                     (Action/Transition exports).
+    - task="count"   rows carry an integer answer_count >= 0.
+    - task="frameqa" rows carry a non-empty answer string.
+    """
+    if task not in ("mc", "count", "frameqa"):
+        raise ValueError(f"unknown task {task!r} (expected mc | count | frameqa)")
     rows, errs = [], []
     with open(path, encoding="utf-8") as f:
         for ln, line in enumerate(f, 1):
@@ -53,15 +60,21 @@ def parse_video_qas(path: str) -> tuple[list[dict], list[str]]:
                     raise ValueError("missing video_id")
                 if not r.get("question"):
                     raise ValueError("missing question")
-                ch = r.get("choices") or []
-                if len(ch) < 2:
-                    raise ValueError("need >= 2 choices")
-                ai = int(r.get("answer_idx", -1))
-                if not 0 <= ai < len(ch):
-                    raise ValueError(f"answer_idx {ai} out of range")
+                if task == "mc":
+                    ch = r.get("choices") or []
+                    if len(ch) < 2:
+                        raise ValueError("need >= 2 choices")
+                    ai = int(r.get("answer_idx", -1))
+                    if not 0 <= ai < len(ch):
+                        raise ValueError(f"answer_idx {ai} out of range")
+                elif task == "count":
+                    if int(r.get("answer_count", -1)) < 0:
+                        raise ValueError("missing/negative answer_count")
+                elif not str(r.get("answer", "")).strip():
+                    raise ValueError("missing answer")
                 r.setdefault("qa_id", f"qa{ln}")
                 rows.append(r)
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 errs.append(f"line {ln}: {e!r}")
     return rows, errs
 
@@ -86,8 +99,16 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
                test_ids: set[str], glove: dict[str, np.ndarray] | None,
                out_dir: str, cfg: DataConfig, num_choices: int = 5,
                max_frames: int = 64, shard_size: int = 256,
-               val_fraction: float = 0.1, seed: int = 0) -> dict:
-    """Pack raw video QA into streaming shards. Returns the meta dict."""
+               val_fraction: float = 0.1, seed: int = 0,
+               task: str = "mc") -> dict:
+    """Pack raw video QA into streaming shards. Returns the meta dict.
+
+    task selects the TGIF-QA label treatment (models/video.VideoFVTAModel):
+    mc packs choice text + answer_idx labels; count packs the integer
+    repetition count as the label (no choice text); frameqa builds the
+    answer vocabulary from the TRAIN split's answer strings (meta
+    "answer_vocab"), labels val/test answers outside it -1 (always scored
+    wrong — TGIF-QA's open-vocab classification treatment)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     feat_dim = int(next(iter(frame_feats.values())).shape[-1])
@@ -97,10 +118,15 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
     # split_sizes as the only clue — the counts ship in meta and the CLI prints
     # them alongside split sizes.
     no_feats = sum(1 for q in qas if q["video_id"] not in frame_feats)
-    bad_choices = sum(1 for q in qas if q["video_id"] in frame_feats
-                      and len(q["choices"]) != num_choices)
-    qas = [q for q in qas if q["video_id"] in frame_feats
-           and len(q["choices"]) == num_choices]
+    bad_choices = 0
+    if task == "mc":
+        bad_choices = sum(1 for q in qas if q["video_id"] in frame_feats
+                          and len(q["choices"]) != num_choices)
+        qas = [q for q in qas if q["video_id"] in frame_feats
+               and len(q["choices"]) == num_choices]
+    else:
+        num_choices = 1  # choice arrays unused by the model; minimal shapes
+        qas = [q for q in qas if q["video_id"] in frame_feats]
     test = [q for q in qas if q["qa_id"] in test_ids]
     rest = [q for q in qas if q["qa_id"] not in test_ids]
     order = rng.permutation(len(rest))
@@ -111,9 +137,23 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
         "test": test,
     }
 
+    answer_vocab: dict[str, int] = {}
+    if task == "frameqa":
+        for q in splits["train"]:
+            answer_vocab.setdefault(str(q["answer"]).strip().lower(), len(answer_vocab))
+
+    def _labels(rows) -> np.ndarray:
+        if task == "count":
+            return np.asarray([int(q["answer_count"]) for q in rows], np.int32)
+        if task == "frameqa":
+            return np.asarray(
+                [answer_vocab.get(str(q["answer"]).strip().lower(), -1)
+                 for q in rows], np.int32)
+        return np.asarray([q["answer_idx"] for q in rows], np.int32)
+
     train_tokens = [t for q in splits["train"]
                     for t in tokenize(q["question"])
-                    + [t for c in q["choices"] for t in tokenize(c)]]
+                    + [t for c in q.get("choices", []) for t in tokenize(c)]]
     vocab = Vocab.build(train_tokens, glove, cfg.word_emb_dim, seed=seed)
     cfg = DataConfig(**{
         **cfg.__dict__,
@@ -136,8 +176,9 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
         split_sizes[name] = n
         qw, qc, qm = enc.encode([q["question"] for q in rows],
                                 cfg.max_question_len, cfg.max_word_len)
-        cw, cc, cm = enc.encode([c for q in rows for c in q["choices"]],
-                                cfg.max_answer_len, cfg.max_word_len)
+        cw, cc, cm = enc.encode(
+            [c for q in rows for c in (q["choices"] if task == "mc" else [""])],
+            cfg.max_answer_len, cfg.max_word_len)
         ff = np.zeros((n, max_frames, feat_dim), np.float32)
         fm = np.zeros((n, max_frames), bool)
         for i, q in enumerate(rows):
@@ -150,14 +191,16 @@ def pack_video(qas: list[dict], frame_feats: dict[str, np.ndarray],
             "choice_chars": cc.reshape(n, num_choices, cfg.max_answer_len,
                                        cfg.max_word_len),
             "choice_mask": cm.reshape(n, num_choices, cfg.max_answer_len),
-            "label": np.asarray([q["answer_idx"] for q in rows], np.int32),
+            "label": _labels(rows),
             "qid": np.asarray([q["qa_id"] for q in rows], dtype="U64"),
         }
         write_shards(out_dir, f"video_{name}", arrays, shard_size)
 
     meta = {
         "data_config": cfg.__dict__,
+        "task": task,
         "num_choices": num_choices,
+        "answer_vocab": sorted(answer_vocab, key=answer_vocab.get),
         "max_frames": max_frames,
         "word2idx": vocab.word2idx,
         "char2idx": vocab.char2idx,
@@ -228,35 +271,57 @@ EVENTS = ["jump", "spin", "wave", "fall", "clap", "run", "nod", "point"]
 
 def make_synthetic_video_raw(num_videos: int = 48, num_frames: int = 32,
                              feat_dim: int = 64, num_choices: int = 5,
-                             test_fraction: float = 0.25, seed: int = 0):
-    """→ (qas list[dict], frame_feats {video_id: [T, F]}, test_ids set).
+                             test_fraction: float = 0.25, seed: int = 0,
+                             task: str = "mc"):
+    """→ (qas list[dict], frame_feats {video_id: [T, F]}, test_ids set), in the
+    per-task raw schema (parse_video_qas): mc choices+answer_idx, count
+    answer_count with a planted-k + independent-distractor world (total event
+    mass is uninformative), frameqa answer strings over the EVENTS vocabulary.
     Event directions come from a FIXED generator so different seeds share one
     visual world (same reasoning as models/video.make_synthetic_video)."""
     rng = np.random.default_rng(seed)
     dir_rng = np.random.default_rng(20260816)
     dirs = {e: dir_rng.normal(0, 1, feat_dim).astype(np.float32) for e in EVENTS}
     qas, feats = [], {}
+    span_w = 2
     for i in range(num_videos):
         vid = f"video{i}"
-        t_i = int(rng.integers(num_frames // 2, num_frames * 2))
+        if task == "count":
+            t_i = num_frames  # fixed length: count is a magnitude readout
+        else:
+            t_i = int(rng.integers(num_frames // 2, num_frames * 2))
         x = 0.1 * rng.normal(0, 1, (t_i, feat_dim)).astype(np.float32)
-        ev = EVENTS[int(rng.integers(len(EVENTS)))]
-        start = int(rng.integers(0, max(t_i // 2, 1)))
-        span = int(rng.integers(2, max(t_i // 2, 3)))
-        x[start: start + span] += dirs[ev]
+        ev_idx = int(rng.integers(len(EVENTS)))
+        ev = EVENTS[ev_idx]
+        row = {"qa_id": f"qa{i}", "video_id": vid}
+        if task == "count":
+            count_max = max(t_i // (2 * span_w) - 1, 2)
+            k = int(rng.integers(1, count_max + 1))
+            for sl in rng.permutation(t_i // span_w)[:k]:
+                x[sl * span_w: (sl + 1) * span_w] += dirs[ev]
+            other = EVENTS[(ev_idx + 1 + int(rng.integers(len(EVENTS) - 1)))
+                           % len(EVENTS)]
+            for sl in rng.permutation(t_i // span_w)[: int(rng.integers(1, count_max + 1))]:
+                x[sl * span_w: (sl + 1) * span_w] += dirs[other]
+            row |= {"question": f"how many times did the person {ev} ?",
+                    "answer_count": k}
+        else:
+            start = int(rng.integers(0, max(t_i // 2, 1)))
+            span = int(rng.integers(2, max(t_i // 2, 3)))
+            x[start: start + span] += dirs[ev]
+            if task == "frameqa":
+                row |= {"question": "what did the person do ?", "answer": ev}
+            else:
+                others = [e for e in EVENTS if e != ev]
+                pick = rng.choice(len(others), num_choices - 1, replace=False)
+                choices = [ev] + [others[int(p)] for p in pick]
+                order = rng.permutation(num_choices)
+                row |= {"question": "what did the person do ?",
+                        "choices": [choices[int(o)] for o in order],
+                        "answer_idx": int(np.argwhere(order == 0)[0, 0])}
         x /= np.linalg.norm(x, axis=-1, keepdims=True) + 1e-6
         feats[vid] = x
-        others = [e for e in EVENTS if e != ev]
-        pick = rng.choice(len(others), num_choices - 1, replace=False)
-        choices = [ev] + [others[int(p)] for p in pick]
-        order = rng.permutation(num_choices)
-        qas.append({
-            "qa_id": f"qa{i}",
-            "video_id": vid,
-            "question": "what did the person do ?",
-            "choices": [choices[int(o)] for o in order],
-            "answer_idx": int(np.argwhere(order == 0)[0, 0]),
-        })
+        qas.append(row)
     n_test = int(num_videos * test_fraction)
     test_ids = {f"qa{i}" for i in range(num_videos - n_test, num_videos)}
     return qas, feats, test_ids

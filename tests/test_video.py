@@ -144,3 +144,82 @@ class TestVideoForward:
         out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
         assert out.logits.shape == (2, 5)
         assert np.isfinite(np.asarray(out.logits)).all()
+
+
+class TestTaskHeads:
+    """TGIF-QA task heads beyond multiple choice (models/video.py docstring):
+    count regression and frameqa answer-vocab classification."""
+
+    def test_count_forward_loss_and_masking(self, video_setup):
+        cfg, _, shared = video_setup
+        vi, _ = make_synthetic_video(cfg, num_videos=8, num_frames=32,
+                                     seed=3, task="count")
+        model = VideoFVTAModel(cfg=cfg, task="count")
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
+        assert out.logits.shape == (8, 1)
+        loss, m = video_loss(model, params, shared, vi, None, False)
+        assert np.isfinite(float(loss)) and float(m["mse"]) == float(loss)
+        # ex_mask False ⇒ that example's label cannot influence the loss
+        vi_m = vi.replace(ex_mask=vi.ex_mask.at[-1].set(False))
+        l1, _ = video_loss(model, params, shared, vi_m, None, False)
+        vi_m2 = vi_m.replace(label=vi_m.label.at[-1].set(999))
+        l2, _ = video_loss(model, params, shared, vi_m2, None, False)
+        assert float(l1) == float(l2)
+
+    def test_count_head_fits_counts(self, video_setup):
+        """The soft-count head must be able to REPRESENT counting: train MSE
+        collapses far below the label variance (held-out generalization is
+        measured at scale — BASELINE.md video section)."""
+        cfg, _, shared = video_setup
+        vi, _ = make_synthetic_video(cfg, num_videos=24, num_frames=32,
+                                     seed=4, task="count")
+        labels = np.asarray(vi.label, np.float32)
+        var = float(((labels - labels.mean()) ** 2).mean())
+        model = VideoFVTAModel(cfg=cfg, task="count")
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            (l, aux), g = jax.value_and_grad(
+                lambda pp: video_loss(model, pp, shared, vi, None, False),
+                has_aux=True)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s, l
+
+        for _ in range(400):
+            params, opt_state, loss = step(params, opt_state)
+        assert float(loss) < 0.25 * var, \
+            f"count head failed to fit: mse={float(loss):.3f} vs var={var:.3f}"
+
+    def test_frameqa_forward_loss_and_oov(self, video_setup):
+        cfg, _, shared = video_setup
+        vi, _ = make_synthetic_video(cfg, num_videos=8, num_frames=32,
+                                     seed=5, task="frameqa")
+        model = VideoFVTAModel(cfg=cfg, task="frameqa", num_answers=8)
+        params = jax.jit(lambda k: model.init(k, shared, vi, train=False))(
+            jax.random.key(0))
+        out = jax.jit(lambda p: model.apply(p, shared, vi, train=False))(params)
+        assert out.logits.shape == (8, 8)
+        l0, m0 = video_loss(model, params, shared, vi, None, False)
+        # an OOV ground truth (label -1): finite loss, counted WRONG in acc
+        vi_oov = vi.replace(label=vi.label.at[0].set(-1))
+        l1, m1 = video_loss(model, params, shared, vi_oov, None, False)
+        assert np.isfinite(float(l1))
+        assert float(m1["acc"]) <= 7.0 / 8.0 + 1e-6
+
+    def test_frameqa_requires_answer_vocab(self, video_setup):
+        cfg, vi, shared = video_setup
+        model = VideoFVTAModel(cfg=cfg, task="frameqa", num_answers=0)
+        with pytest.raises(ValueError, match="num_answers"):
+            model.init(jax.random.key(0), shared, vi, train=False)
+
+    def test_unknown_task_raises(self, video_setup):
+        cfg, vi, shared = video_setup
+        model = VideoFVTAModel(cfg=cfg, task="nope")
+        with pytest.raises(ValueError, match="unknown task"):
+            model.init(jax.random.key(0), shared, vi, train=False)

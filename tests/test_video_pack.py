@@ -71,6 +71,32 @@ class TestParse:
         assert [q["qa_id"] for q in good] == ["a"]
         assert len(errs) == 4
 
+    def test_per_task_validation(self, tmp_path):
+        """Each TGIF-QA task validates its own label field (video_pack.
+        parse_video_qas docstring)."""
+        path = str(tmp_path / "qas.jsonl")
+        rows = [
+            {"qa_id": "a", "video_id": "v", "question": "q ?",
+             "answer_count": 3, "answer": "jump"},
+            {"qa_id": "b", "video_id": "v", "question": "q ?",
+             "answer_count": -1},                         # negative count
+            {"qa_id": "c", "video_id": "v", "question": "q ?",
+             "answer": "  "},                             # blank answer
+            {"qa_id": "d", "video_id": "v", "question": "q ?",
+             "answer_count": "four"},                     # non-integer count
+        ]
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        good, errs = parse_video_qas(path, task="count")
+        assert [q["qa_id"] for q in good] == ["a"] and len(errs) == 3
+        good, errs = parse_video_qas(path, task="frameqa")  # b,d: no answer
+        assert [q["qa_id"] for q in good] == ["a"] and len(errs) == 3
+        good, errs = parse_video_qas(path, task="mc")   # none carry choices
+        assert good == [] and len(errs) == 4
+        with pytest.raises(ValueError, match="unknown task"):
+            parse_video_qas(path, task="nope")
+
 
 class TestVideoPack:
     def test_splits_and_shapes(self, video_pack_dir):
@@ -100,6 +126,51 @@ class TestVideoPack:
         assert meta["dropped"] == {"missing_video_feats": 2,
                                    "wrong_choice_count": 1}
         assert sum(meta["split_sizes"].values()) == 9
+
+    def test_pack_count_labels(self, tmp_path):
+        """count packs answer_count as the label and collapses the unused
+        choice arrays to C=1 (minimal static shapes)."""
+        qas, feats, test_ids = make_synthetic_video_raw(
+            num_videos=12, num_frames=16, feat_dim=8, seed=2, task="count")
+        out = str(tmp_path / "cnt")
+        meta = pack_video(qas, feats, test_ids, None, out, small_cfg(),
+                          max_frames=16, shard_size=5, task="count")
+        assert meta["task"] == "count" and meta["num_choices"] == 1
+        _, meta2, _ = load_video_meta(out)
+        assert meta2["task"] == "count"
+        by_id = {q["qa_id"]: q["answer_count"] for q in qas}
+        ds = VideoDataset(out, "test")
+        labels = np.concatenate(  # unshuffled batches follow shard order
+            [np.asarray(vi.label)[np.asarray(vi.ex_mask)]
+             for vi in ds.get_batches(4)])
+        np.testing.assert_array_equal(
+            labels, [by_id[str(q)] for q in ds.qids])
+        assert next(iter(ds.get_batches(4))).choice_words.shape[1] == 1
+
+    def test_pack_frameqa_vocab_train_only_oov(self, tmp_path):
+        """frameqa's answer vocabulary comes from the TRAIN split alone;
+        answers outside it (val/test only) pack as label -1."""
+        qas, feats, test_ids = make_synthetic_video_raw(
+            num_videos=16, num_frames=16, feat_dim=8, seed=3, task="frameqa")
+        # force an OOV: every test answer becomes a word absent from train
+        for q in qas:
+            if q["qa_id"] in test_ids:
+                q["answer"] = "zzzunseen"
+        out = str(tmp_path / "fq")
+        meta = pack_video(qas, feats, test_ids, None, out, small_cfg(),
+                          max_frames=16, shard_size=5, task="frameqa")
+        vocab = meta["answer_vocab"]
+        assert "zzzunseen" not in vocab and len(vocab) >= 2
+        train_answers = {str(q["answer"]).strip().lower() for q in qas
+                         if q["qa_id"] not in test_ids}
+        assert set(vocab) <= train_answers
+        ds = VideoDataset(out, "test")
+        for vi in ds.get_batches(4):
+            assert (np.asarray(vi.label)[np.asarray(vi.ex_mask)] == -1).all()
+        ds_tr = VideoDataset(out, "train")
+        for vi in ds_tr.get_batches(4):
+            lab = np.asarray(vi.label)[np.asarray(vi.ex_mask)]
+            assert ((lab >= 0) & (lab < len(vocab))).all()
 
     def test_streaming_covers_split(self, video_pack_dir):
         ds = VideoDataset(video_pack_dir, "train")
