@@ -470,7 +470,20 @@ def cmd_video(argv):
                    help="context-parallel degree: shard the FVTA attention "
                         "over the frame axis across N devices (frame count "
                         "must be divisible by N)")
+    p.add_argument("--out", default=None,
+                   help="run dir (requires --data): enables the full driver — "
+                        "keep-best orbax checkpoints, JSONL metrics, exact "
+                        "resume — and the final test eval restores the "
+                        "best-on-val state (see also: video-test)")
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--val-period", type=int, default=50)
+    p.add_argument("--log-period", type=int, default=50)
+    p.add_argument("--save-period", type=int, default=200)
+    p.add_argument("--prefetch", type=int, default=0)
     args = p.parse_args(argv)
+    if args.out and not args.data:
+        raise SystemExit("--out needs --data (the synthetic demo world is "
+                         "in-memory; nothing to resume)")
     if args.data:
         return _video_from_pack(args)
 
@@ -595,8 +608,62 @@ def _make_video_cp(cp: int, num_frames: int, cfg):
     return make_cp_attention(mesh, cfg.model.similarity)
 
 
+def _video_driver_from_pack(args):
+    """--out path: full-driver training (train_video) + best-on-val test eval."""
+    from fvta_memexqa_tpu.config import Config, ModelConfig, TrainConfig
+    from fvta_memexqa_tpu.train_video import test_video, train_video
+
+    cfg = Config(
+        model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=8,
+                          char_cnn_filters=16, keep_prob=1.0, vocab_embed=True),
+        train=TrainConfig(batch_size=args.batch_size,
+                          eval_batch_size=args.batch_size,
+                          learning_rate=args.lr, seed=args.seed,
+                          val_period=args.val_period,
+                          log_period=args.log_period,
+                          save_period=args.save_period),
+    )
+    r = train_video(cfg, args.data, args.out, num_steps=args.steps,
+                    encoder=args.encoder, cp=args.cp, prefetch=args.prefetch,
+                    metrics_path=os.path.join(args.out, "metrics.jsonl"))
+    m = test_video(args.out, split="test", load_best=True,
+                   batch_size=args.batch_size, echo=False)
+    out = {
+        "encoder": args.encoder, "task": r["task"], "data": args.data,
+        "out": args.out, "steps": r["steps"],
+        "best_val_score": r["best_val_score"],
+        "heldout_acc": m["acc"], "test_count": m["count"],
+    }
+    if r["task"] == "count":
+        out["heldout_mse"] = m["mse"]
+    print(json.dumps(out))
+
+
+def cmd_video_test(argv):
+    """Evaluate a video run dir (cli video --out) on a pack split, restoring
+    the best-on-val checkpoint (reference --is_test --load_best, video family)."""
+    p = argparse.ArgumentParser(prog="fvta video-test")
+    p.add_argument("out", help="run dir written by `video --data ... --out`")
+    p.add_argument("--data", default=None,
+                   help="pack dir (default: the one recorded in the run)")
+    p.add_argument("--split", default="test", choices=["train", "val", "test"])
+    p.add_argument("--latest", action="store_true",
+                   help="restore the latest checkpoint instead of best-on-val")
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args(argv)
+    from fvta_memexqa_tpu.train_video import test_video
+
+    m = test_video(args.out, pack_dir=args.data, split=args.split,
+                   load_best=not args.latest, batch_size=args.batch_size,
+                   echo=False)
+    print(json.dumps({"split": args.split, **{k: v for k, v in m.items()
+                                              if k != "score"}}))
+
+
 def _video_from_pack(args):
     """Train/eval the video model over a video-prepro pack (streaming loader)."""
+    if args.out:
+        return _video_driver_from_pack(args)
     import jax
     import numpy as np
     import optax
@@ -804,6 +871,7 @@ COMMANDS = {
     "predict": cmd_predict,
     "synth": cmd_synth,
     "video": cmd_video,
+    "video-test": cmd_video_test,
     "video-prepro": cmd_video_prepro,
     "synth-video": cmd_synth_video,
     "import-tf-checkpoint": cmd_import_tf,
