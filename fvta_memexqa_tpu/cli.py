@@ -476,6 +476,12 @@ def cmd_video(argv):
                         "resume — and the final test eval restores the "
                         "best-on-val state (see also: video-test)")
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "linear"])
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--decay-steps", type=int, default=0)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="microbatches averaged per optimizer update")
     p.add_argument("--val-period", type=int, default=50)
     p.add_argument("--log-period", type=int, default=50)
     p.add_argument("--save-period", type=int, default=200)
@@ -619,6 +625,10 @@ def _video_driver_from_pack(args):
         train=TrainConfig(batch_size=args.batch_size,
                           eval_batch_size=args.batch_size,
                           learning_rate=args.lr, seed=args.seed,
+                          lr_schedule=args.lr_schedule,
+                          warmup_steps=args.warmup_steps,
+                          decay_steps=args.decay_steps,
+                          grad_accum=args.grad_accum,
                           val_period=args.val_period,
                           log_period=args.log_period,
                           save_period=args.save_period),

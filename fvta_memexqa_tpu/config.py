@@ -109,6 +109,18 @@ class TrainConfig:
     learning_rate: float = 1e-3
     optimizer: str = "adam"      # adam | adadelta (reference offered both; adam default)
     grad_clip_norm: float = 5.0
+    # LR schedule over optimizer steps (constant | cosine | linear). The
+    # schedule's step counter lives in the optimizer state, so checkpoint
+    # resume continues it exactly. warmup_steps ramp linearly 0 → lr first;
+    # cosine/linear then decay to 0 over decay_steps (required > 0 for them).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    # Gradient accumulation: average grads over this many microbatches per
+    # optimizer update (optax.MultiSteps) — the TPU-native route to effective
+    # batches past one device's memory without touching the train loop; the
+    # accumulator lives in the optimizer state (exact resume holds).
+    grad_accum: int = 1
     num_epochs: int = 20
     val_period: int = 200        # steps between val evals
     save_period: int = 500       # steps between periodic checkpoints

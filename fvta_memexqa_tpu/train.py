@@ -75,19 +75,53 @@ def _opt_key(cfg: Config) -> tuple:
     configs differing only in loop bookkeeping (num_epochs, periods, seed)
     would retrace the full model (measured ~35s per retrace on this box)."""
     t = cfg.train
-    return (t.optimizer, t.learning_rate, t.grad_clip_norm)
+    return (t.optimizer, t.learning_rate, t.grad_clip_norm,
+            t.lr_schedule, t.warmup_steps, t.decay_steps, t.grad_accum)
+
+
+def _make_lr(learning_rate: float, schedule: str, warmup_steps: int,
+             decay_steps: int):
+    """LR schedule over OPTIMIZER steps: linear 0→lr warmup, then constant,
+    cosine-to-0, or linear-to-0 over decay_steps. Returns a float for the
+    plain constant case (keeps old opt states' structure identical)."""
+    if schedule == "constant":
+        if warmup_steps <= 0:
+            return learning_rate
+        tail = optax.constant_schedule(learning_rate)
+    elif schedule in ("cosine", "linear"):
+        if decay_steps <= 0:
+            raise ValueError(f"lr_schedule={schedule!r} needs decay_steps > 0 "
+                             "(the horizon it decays over)")
+        tail = (optax.cosine_decay_schedule(learning_rate, decay_steps)
+                if schedule == "cosine"
+                else optax.linear_schedule(learning_rate, 0.0, decay_steps))
+    else:
+        raise ValueError(f"unknown lr_schedule {schedule!r} "
+                         "(expected constant | cosine | linear)")
+    if warmup_steps <= 0:
+        return tail
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, learning_rate, warmup_steps), tail],
+        boundaries=[warmup_steps])
 
 
 def _optimizer_from_key(key: tuple) -> optax.GradientTransformation:
-    optimizer, learning_rate, grad_clip_norm = key
+    (optimizer, learning_rate, grad_clip_norm,
+     lr_schedule, warmup_steps, decay_steps, grad_accum) = key
+    lr = _make_lr(learning_rate, lr_schedule, warmup_steps, decay_steps)
     if optimizer == "adam":
-        opt = optax.adam(learning_rate)
+        opt = optax.adam(lr)
     elif optimizer == "adadelta":
-        opt = optax.adadelta(learning_rate)
+        opt = optax.adadelta(lr)
     else:
         raise ValueError(f"unknown optimizer {optimizer}")
     if grad_clip_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
+    if grad_accum > 1:
+        # accumulate/average grads over k microbatches, apply on the k-th;
+        # schedule + accumulator state live in opt_state (exact resume holds)
+        ms = optax.MultiSteps(opt, every_k_schedule=grad_accum)
+        opt = optax.GradientTransformation(ms.init, ms.update)
     return opt
 
 
