@@ -112,12 +112,24 @@ class AlbumStore:
 
     def __init__(self, cfg: Config, model: FVTAModel, params, shared: SharedTables,
                  vocab: Vocab, max_bytes: int | None = None, mesh=None,
-                 max_retained_inputs: int = 4096, shard_cache: bool = False):
+                 max_retained_inputs: int = 4096, shard_cache: bool = False,
+                 cache_dtype: str = "float32"):
         from collections import OrderedDict
 
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
+        # cache_dtype="bfloat16" halves the per-album cache footprint (the h
+        # states dominate; masks stay bool): encodings are cast on _put and
+        # upcast back to f32 by the query-side stack buffer (get_stacked).
+        # The encode itself stays f32 — only the CACHED copy is rounded, one
+        # rounding per value. Accuracy impact measured in tests/test_serve
+        # (identical top-1 on the synthetic pack; probs within bf16 noise).
+        if cache_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown cache_dtype {cache_dtype!r} "
+                             "(expected float32 | bfloat16)")
+        self._cache_dtype = jnp.bfloat16 if cache_dtype == "bfloat16" \
+            else jnp.float32
         # Cache-sharded multi-chip serving (ROADMAP #8): place each album's
         # encoded states on ONE mesh device (hash of the album id → home
         # device), so aggregate cache capacity scales with the mesh instead of
@@ -206,6 +218,7 @@ class AlbumStore:
         on-demand re-encodes of previously saved entries) — otherwise re-encode
         churn under budget pressure would make the periodic saver refetch and
         rewrite the whole cache every period."""
+        h = h.astype(self._cache_dtype)
         di = None
         if self.shard_cache:
             # commit the entry to its home device BEFORE taking the lock (the
@@ -356,13 +369,15 @@ class AlbumStore:
                 # (or the ingest-time dirty flag is still pending a save)
                 self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
-                entries.append((h[0], m[0]))
+                # answers must not depend on cache state: serve the same
+                # cache_dtype rounding a cached hit would have returned
+                entries.append((h[0].astype(self._cache_dtype), m[0]))
             elif a in self._pack_rows:  # pack album: re-encode from its row
                 h, m = self._encode_pack_rows(
                     np.asarray([self._pack_rows[a]], np.int64))
                 self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
-                entries.append((h[0], m[0]))
+                entries.append((h[0].astype(self._cache_dtype), m[0]))
         if self.shard_cache and entries:
             # pull the referenced entries to one device (ICI device-to-device
             # fetch) — committed arrays on different devices cannot feed one
@@ -861,7 +876,7 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
                  batch_size: int = 8, max_cache_bytes: int | None = None,
                  cache_dir: str | None = None, dp: int = 1,
                  max_pending: int | None = None, preingest: bool = True,
-                 shard_cache: bool = False):
+                 shard_cache: bool = False, cache_dtype: str = "float32"):
     """Load pack + checkpoint, pre-ingest all packed albums, return (engine, store).
 
     preingest batch-encodes every pack album into the store at startup, so
@@ -898,7 +913,7 @@ def build_engine(packdir: str, rundir: str, load_best: bool = True,
         mesh = make_mesh(MeshConfig(data_parallel=dp))
     store = AlbumStore(cfg, model, state.params, shared, vocab,
                        max_bytes=max_cache_bytes, mesh=mesh,
-                       shard_cache=shard_cache)
+                       shard_cache=shard_cache, cache_dtype=cache_dtype)
     if cache_dir and os.path.exists(os.path.join(cache_dir, "album_ids.json")):
         n = store.load(cache_dir)
         print(f"restored {n} cached album encodings from {cache_dir}", flush=True)
@@ -960,6 +975,13 @@ def main(argv):
     p.add_argument("--raw-albums", default=None,
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
+    p.add_argument("--cache-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype of CACHED album encodings: bfloat16 halves the "
+                        "cache footprint (2x albums per byte budget / per "
+                        "chip with --shard-cache) at bf16 rounding of the "
+                        "cached states only — encode and answer math stay "
+                        "f32 (accuracy delta measured in tests)")
     p.add_argument("--no-preingest", action="store_true",
                    help="skip batch-encoding the pack's own albums at startup "
                         "(they re-encode lazily per query instead)")
@@ -970,7 +992,8 @@ def main(argv):
         batch_size=args.batch_size,
         max_cache_bytes=args.max_cache_mb * 1 << 20 if args.max_cache_mb else None,
         cache_dir=args.cache_dir, dp=args.dp, max_pending=args.max_pending,
-        preingest=not args.no_preingest, shard_cache=args.shard_cache)
+        preingest=not args.no_preingest, shard_cache=args.shard_cache,
+        cache_dtype=args.cache_dtype)
     feats: dict[str, np.ndarray] = {}
     if args.raw_albums and args.raw_photo_npz:
         from fvta_memexqa_tpu.data.schema import parse_album_info

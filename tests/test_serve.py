@@ -76,6 +76,80 @@ class TestAlbumStore:
                                       np.asarray(cached_m))
 
 
+class TestCacheDtype:
+    """--cache-dtype bfloat16: half the cache footprint, answers preserved
+    (only the CACHED states are rounded; encode + answer math stay f32)."""
+
+    @pytest.fixture(scope="class")
+    def bf16_store(self, served, small_config):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="bfloat16")
+        for a in albums.values():
+            s2.ingest(a, feats)
+        return s2
+
+    def test_halves_cache_bytes(self, served, bf16_store):
+        *_, store, albums, feats = served
+        assert bf16_store.num_albums == store.num_albums
+        # h states (f32→bf16) dominate; bool masks are unchanged
+        assert bf16_store.cache_bytes < 0.6 * store.cache_bytes
+
+    def test_answers_match_f32_store(self, served, bf16_store):
+        *_, store, albums, feats = served
+        e1 = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        e2 = QAEngine(bf16_store, batch_size=4, batch_window_ms=1.0)
+        try:
+            for aid in sorted(albums)[:4]:
+                a = albums[aid]
+                q = f"where did we go on {a.title} ?"
+                ch = [a.where, "nowhere", "space", "atlantis"]
+                r1, r2 = e1.ask(q, ch, [aid]), e2.ask(q, ch, [aid])
+                assert r1["answer_index"] == r2["answer_index"]
+                np.testing.assert_allclose(r1["probs"], r2["probs"], atol=0.05)
+        finally:
+            e1.close()
+            e2.close()
+
+    def test_reencode_matches_cached_hit(self, served, small_config):
+        """Answers must not depend on cache state: an entry evicted and
+        re-encoded on demand serves the SAME bf16 rounding a cached hit
+        would (get_stacked casts at the re-encode sites)."""
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="bfloat16")
+        aid = sorted(albums)[0]
+        s2.ingest(albums[aid], feats)
+        h_hit, m_hit, n = s2.get_stacked([aid])
+        with s2._lock:  # simulate a device-cache eviction
+            e = s2._store.pop(aid)
+            s2._bytes -= s2._entry_bytes(*e)
+        h_re, m_re, n2 = s2.get_stacked([aid])
+        assert n == n2 == 1 and s2.reencodes == 1
+        np.testing.assert_array_equal(np.asarray(h_hit), np.asarray(h_re))
+        np.testing.assert_array_equal(np.asarray(m_hit), np.asarray(m_re))
+
+    def test_save_load_preserves_dtype(self, bf16_store, served, small_config,
+                                       tmp_path):
+        model, params, shared, store, albums, feats = served
+        path = str(tmp_path / "bf16cache")
+        assert bf16_store.save(path)
+        s3 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="bfloat16")
+        assert s3.load(path) == bf16_store.num_albums
+        assert s3.cache_bytes == bf16_store.cache_bytes
+        aid = sorted(albums)[0]
+        h1, m1, _ = bf16_store.get_stacked([aid])
+        h2, m2, _ = s3.get_stacked([aid])
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    def test_bad_dtype_rejected(self, served, small_config):
+        model, params, shared, store, *_ = served
+        with pytest.raises(ValueError, match="cache_dtype"):
+            AlbumStore(small_config, model, params, shared, store.vocab,
+                       cache_dtype="float16")
+
+
 class TestQAEngine:
     def test_answers_derivable_question(self, served):
         model, params, shared, store, albums, feats = served
