@@ -660,12 +660,16 @@ def cmd_video_test(argv):
     p.add_argument("--latest", action="store_true",
                    help="restore the latest checkpoint instead of best-on-val")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dump-attention", default=None, metavar="PATH",
+                   help="also write per-question frame-attention maps + "
+                        "predictions to PATH (.npz; readable by "
+                        "attention-report)")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.train_video import test_video
 
     m = test_video(args.out, pack_dir=args.data, split=args.split,
                    load_best=not args.latest, batch_size=args.batch_size,
-                   echo=False)
+                   echo=False, attention_path=args.dump_attention)
     print(json.dumps({"split": args.split, **{k: v for k, v in m.items()
                                               if k != "score"}}))
 
@@ -824,6 +828,10 @@ def cmd_attention_report(argv):
     ta, sa = z["time_attn"], z["seq_attn"]          # [N,S,T], [N,S]
     pred, label, probs = z["pred"], z["label"], z["probs"]
     n_mod = len(MODALITIES)
+    # video dumps name their sequences directly (seq_names=["frames"]) —
+    # the (album, modality) decomposition is memexqa-shaped only
+    seq_names = ([str(x) for x in z["seq_names"]]
+                 if "seq_names" in getattr(z, "files", []) else None)
     rows = range(len(qids))
     if args.qid is not None:
         if args.qid not in qids:
@@ -844,27 +852,36 @@ def cmd_attention_report(argv):
         cells = []
         for k in top:
             s, t = divmod(int(k), ta.shape[2])
-            cells.append({
-                "album": s // n_mod,
-                "modality": MODALITIES[s % n_mod],
+            cell = {
                 "t": t,
                 "weight": float(flat[k]),
                 "seq_weight": float(sa[i][s]),
-            })
+            }
+            if seq_names is not None:
+                cell["seq"] = seq_names[s % len(seq_names)]
+            else:
+                cell["album"] = s // n_mod
+                cell["modality"] = MODALITIES[s % n_mod]
+            cells.append(cell)
         rec = {
             "qid": qids[i], "pred": int(pred[i]), "label": int(label[i]),
             "correct": bool(pred[i] == label[i]),
-            "p_pred": float(probs[i][int(pred[i])]),
+            # count dumps carry the raw regression value in probs[:, 0],
+            # not class probabilities — no p to report then
+            "p_pred": (float(probs[i][int(pred[i])])
+                       if int(pred[i]) < probs.shape[1] else None),
             "focus": cells,
         }
         if args.as_json:
             print(json.dumps(rec))
         else:
             mark = "✓" if rec["correct"] else f"✗ (gold {rec['label']})"
-            print(f"{rec['qid']}: pred choice {rec['pred']} "
-                  f"p={rec['p_pred']:.2f} {mark}")
+            p_str = f"p={rec['p_pred']:.2f} " if rec["p_pred"] is not None else ""
+            print(f"{rec['qid']}: pred choice {rec['pred']} {p_str}{mark}")
             for c in cells:
-                print(f"    album {c['album']} · {c['modality']:<12s} t={c['t']:<3d} "
+                name = (c["seq"] if "seq" in c
+                        else f"album {c['album']} · {c['modality']:<12s}")
+                print(f"    {name} t={c['t']:<3d} "
                       f"joint={c['weight']:.3f} (seq {c['seq_weight']:.3f})")
     if not args.as_json:
         print(f"[{reported} question(s) reported from {args.npz}]",

@@ -295,13 +295,21 @@ def make_synthetic_video_raw(num_videos: int = 48, num_frames: int = 32,
         ev = EVENTS[ev_idx]
         row = {"qa_id": f"qa{i}", "video_id": vid}
         if task == "count":
-            count_max = max(t_i // (2 * span_w) - 1, 2)
+            # clamp to TGIF-QA's repetition-count answer range (models/video
+            # COUNT_MIN..COUNT_MAX — eval rounds+clips predictions into it)
+            count_max = min(10, max(t_i // (2 * span_w) - 1, 2))
             k = int(rng.integers(1, count_max + 1))
-            for sl in rng.permutation(t_i // span_w)[:k]:
-                x[sl * span_w: (sl + 1) * span_w] += dirs[ev]
+            k2 = int(rng.integers(1, count_max + 1))
+            # DISJOINT slots for the asked vs distractor event (same rule as
+            # models/video.make_synthetic_video): an overlapping frame would
+            # carry a normalized MIXTURE of both directions — ambiguous for
+            # any per-frame detector
+            slots = rng.permutation(t_i // span_w)
             other = EVENTS[(ev_idx + 1 + int(rng.integers(len(EVENTS) - 1)))
                            % len(EVENTS)]
-            for sl in rng.permutation(t_i // span_w)[: int(rng.integers(1, count_max + 1))]:
+            for sl in slots[:k]:
+                x[sl * span_w: (sl + 1) * span_w] += dirs[ev]
+            for sl in slots[k: k + k2]:
                 x[sl * span_w: (sl + 1) * span_w] += dirs[other]
             row |= {"question": f"how many times did the person {ev} ?",
                     "answer_count": k}

@@ -271,9 +271,55 @@ def train_video(cfg: Config, pack_dir: str, out_dir: str, num_steps: int,
             "model": model, "shared": shared, "task": task}
 
 
+def dump_video_attention(model: VideoFVTAModel, params, shared, dataset,
+                         batch_size: int, path: str) -> int:
+    """Per-question video attention maps + predictions → .npz, in the same
+    schema train.dump_attention writes (qid/pred/label/probs/time_attn/
+    seq_attn) so `cli attention-report` reads both; seq_names=["frames"]
+    replaces the memexqa (album, modality) cell naming. For count tasks,
+    pred is the rounded/clipped count and probs carries the raw prediction
+    (the report prints p only for classification dumps)."""
+    import numpy as np
+
+    @_functools.partial(jax.jit, static_argnums=0)
+    def _step(m, p, vi):
+        out = m.apply(p, shared, vi, train=False)
+        if m.task == "count":
+            pred = jnp.clip(jnp.round(out.logits[:, 0]), COUNT_MIN,
+                            COUNT_MAX).astype(jnp.int32)
+            probs = out.logits
+        else:
+            pred = jnp.argmax(out.logits, -1)
+            probs = jax.nn.softmax(out.logits)
+        return (pred, probs, out.attention.time_attn, out.attention.seq_attn)
+
+    rows = {"qid": [], "pred": [], "label": [], "probs": [],
+            "time_attn": [], "seq_attn": []}
+    qids = dataset.qids
+    seen = 0
+    for vi in dataset.get_batches(batch_size):
+        vi = jax.tree.map(jnp.asarray, vi)
+        pred, probs, ta, sa = jax.tree.map(
+            np.asarray, _step(model, params, vi))
+        keep = np.asarray(vi.ex_mask)
+        n = int(keep.sum())
+        rows["qid"].append(qids[seen: seen + n])
+        rows["pred"].append(pred[keep])
+        rows["label"].append(np.asarray(vi.label)[keep])
+        rows["probs"].append(probs[keep])
+        rows["time_attn"].append(ta[keep])
+        rows["seq_attn"].append(sa[keep])
+        seen += n
+    out = {k: np.concatenate(v) for k, v in rows.items()}
+    out["seq_names"] = np.asarray(["frames"], dtype="U16")
+    np.savez_compressed(path, **out)
+    return seen
+
+
 def test_video(out_dir: str, pack_dir: str | None = None, split: str = "test",
                load_best: bool = True, batch_size: int | None = None,
-               metrics_path: str | None = None, echo: bool = True) -> dict:
+               metrics_path: str | None = None, echo: bool = True,
+               attention_path: str | None = None) -> dict:
     """Reference --is_test for the video family: rebuild the model from the
     run dir (config.json + video_run.json), restore the best-on-val (default)
     or latest checkpoint, evaluate a split of the pack."""
@@ -311,5 +357,9 @@ def test_video(out_dir: str, pack_dir: str | None = None, split: str = "test",
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, wall_s=timer.samples[0],
             **{k: v for k, v in m.items() if k != "score"})
+    if attention_path:
+        n = dump_video_attention(model, state.params, shared, ds, bs,
+                                 attention_path)
+        log.log("attention_dump", split=split, path=attention_path, count=n)
     log.close()
     return m

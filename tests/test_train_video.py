@@ -92,6 +92,20 @@ class TestVideoDriver:
         tr = next(e for e in events if e["event"] == "train")
         assert {"loss", "acc", "qa_pairs_per_sec", "p50_step_ms"} <= set(tr)
 
+    def test_attention_dump_schema(self, video_pack, tmp_path):
+        """video-test --dump-attention writes the train.dump_attention npz
+        schema plus seq_names (attention-report reads both shapes)."""
+        out = str(tmp_path / "adump")
+        train_video(small_cfg(), video_pack, out, num_steps=2, echo=False)
+        path = os.path.join(out, "attn.npz")
+        m = eval_video_run(out, split="test", echo=False, attention_path=path)
+        z = np.load(path, allow_pickle=True)
+        n = m["count"]
+        assert list(z["seq_names"]) == ["frames"]
+        assert z["time_attn"].shape[:2] == (n, 1) and z["seq_attn"].shape == (n, 1)
+        assert z["probs"].shape[0] == n and len(z["qid"]) == n
+        np.testing.assert_allclose(z["seq_attn"], 1.0, atol=1e-6)  # S=1
+
     def test_count_task_driver_and_score(self, count_pack, tmp_path):
         """count runs: keep-best key is NEGATIVE val MSE; test_video reports
         mse alongside rounded exact-match acc."""
