@@ -464,6 +464,11 @@ def cmd_video(argv):
     p.add_argument("--task", default="mc", choices=["mc", "count", "frameqa"],
                    help="TGIF-QA task head (synthetic demo; --data packs "
                         "carry their task in meta.json)")
+    p.add_argument("--attention", default="fvta",
+                   choices=["fvta", "flat", "none"],
+                   help="attention variant (config-3 ablation registry "
+                        "applied to the video path; recorded in the run "
+                        "config so video-test restores it)")
     p.add_argument("--hidden-dim", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cp", type=int, default=1,
@@ -508,7 +513,8 @@ def cmd_video(argv):
                         image_feat_dim=2537, word_emb_dim=50, word_vocab_size=64,
                         char_vocab_size=16, num_glove_words=0),
         model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=4,
-                          char_cnn_filters=8, keep_prob=1.0, vocab_embed=False),
+                          char_cnn_filters=8, keep_prob=1.0, vocab_embed=False,
+                          attention=args.attention),
     )
     vi, _ = make_synthetic_video(cfg, num_videos=args.num_videos,
                                  num_frames=args.num_frames,
@@ -621,7 +627,8 @@ def _video_driver_from_pack(args):
 
     cfg = Config(
         model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=8,
-                          char_cnn_filters=16, keep_prob=1.0, vocab_embed=True),
+                          char_cnn_filters=16, keep_prob=1.0, vocab_embed=True,
+                          attention=args.attention),
         train=TrainConfig(batch_size=args.batch_size,
                           eval_batch_size=args.batch_size,
                           learning_rate=args.lr, seed=args.seed,
@@ -692,7 +699,8 @@ def _video_from_pack(args):
     cfg = Config(data=dcfg,
                  model=ModelConfig(hidden_dim=args.hidden_dim, char_emb_dim=8,
                                    char_cnn_filters=16, keep_prob=1.0,
-                                   vocab_embed=True))
+                                   vocab_embed=True,
+                                   attention=args.attention))
     shared = video_shared_tables(dcfg, shared_np)
     model = VideoFVTAModel(cfg=cfg, num_choices=meta["num_choices"],
                            temporal_encoder=args.encoder, task=task,
