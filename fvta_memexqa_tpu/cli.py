@@ -209,10 +209,16 @@ def cmd_test(argv):
     p.add_argument("--dump-attention", default=None, metavar="PATH",
                    help="write per-question FVTA attention maps + predictions "
                         "to this .npz (qualitative-analysis tensors)")
+    p.add_argument("--by-category", action="store_true",
+                   help="also report accuracy per question category "
+                        "(what/who/when/where/how-many — the papers' table)")
+    p.add_argument("--ensemble", default=None, metavar="RUNDIR[,RUNDIR...]",
+                   help="average choice probabilities with these extra runs "
+                        "(each restored under its own saved config)")
     args = p.parse_args(argv)
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.data import load_pack
-    from fvta_memexqa_tpu.train import test
+    from fvta_memexqa_tpu.train import test, test_ensemble
 
     packed = load_pack(args.packdir)
     saved = load_config(os.path.join(args.rundir, "config.json"))
@@ -224,12 +230,24 @@ def cmd_test(argv):
         import dataclasses as _dc
 
         cfg = cfg.replace(model=_dc.replace(cfg.model, use_pallas=False))
+    if args.ensemble:
+        dirs = [args.rundir] + [d for d in args.ensemble.split(",") if d]
+        m = test_ensemble(cfg, packed, dirs, load_best=not args.load_latest,
+                          split=args.split,
+                          metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
+        print(json.dumps({"split": args.split, "accuracy": m["acc"],
+                          "count": m["count"], "members": m["members"]}))
+        return
     m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
              metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
              album_cache=not args.no_album_cache,
-             attention_path=args.dump_attention)
-    print(json.dumps({"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
-                      "count": m["count"]}))
+             attention_path=args.dump_attention,
+             by_category=args.by_category)
+    out = {"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
+           "count": m["count"]}
+    if args.by_category:
+        out["by_category"] = m["by_category"]
+    print(json.dumps(out))
 
 
 def cmd_serve(argv):

@@ -92,6 +92,47 @@ def make_cached_eval_step(cfg: Config, model: FVTAModel):
     return functools.partial(_cached_eval_step_jit, canonical_model(model))
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _cached_probs_jit(model, params, shared, cache_h, cache_m, batch,
+                      vocab_table=None):
+    mi = assemble(shared, batch)
+    h_ctx, ctx_mask = gather_cached_context(cache_h, cache_m,
+                                            batch.album_idx, batch.album_mask)
+    out = model.apply(params, shared, mi, h_ctx, ctx_mask, train=False,
+                      vocab_table=vocab_table, method=model.answer)
+    return jax.nn.softmax(out.logits, -1)
+
+
+def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
+                   dataset, batch_size: int, cache=None) -> dict:
+    """Per-question choice probabilities through the album cache, in dataset
+    order: {"qid" [N], "probs" [N,4], "pred" [N], "label" [N]}.
+
+    The per-question view the accumulate-on-device evaluate_cached cannot
+    give — feeds per-category reporting (data/categories.py) and checkpoint
+    ensembling (train.test_ensemble). cache=None builds the album cache."""
+    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+    from fvta_memexqa_tpu.train import canonical_model, make_eval_tables
+
+    vt, pt = make_eval_tables(model, params, shared)
+    if cache is None:
+        cache = precompute_album_cache(cfg, model, params, shared,
+                                       vocab_table=vt, photo_table=pt)
+    cache_h, cache_m = cache
+    step = functools.partial(_cached_probs_jit, canonical_model(model))
+    probs, labels = [], []
+    for batch in dataset.get_batches(batch_size, shuffle=False):
+        batch = device_put_batch(batch)
+        p = np.asarray(step(params, shared, cache_h, cache_m, batch, vt))
+        keep = np.asarray(batch.ex_mask)
+        probs.append(p[keep])
+        labels.append(np.asarray(batch.label)[keep])
+    probs = np.concatenate(probs) if probs else np.zeros((0, 4), np.float32)
+    labels = np.concatenate(labels) if labels else np.zeros(0, np.int32)
+    return {"qid": np.asarray(dataset.qids), "probs": probs,
+            "pred": np.argmax(probs, -1), "label": labels}
+
+
 def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
                     dataset, batch_size: int, cache=None) -> dict:
     """Full-split evaluation through the album cache. Returns reference-compatible

@@ -655,13 +655,16 @@ def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 
 def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
          split: str = "test", metrics_path: str | None = None, echo: bool = True,
-         album_cache: bool = True, attention_path: str | None = None) -> dict:
+         album_cache: bool = True, attention_path: str | None = None,
+         by_category: bool = False) -> dict:
     """Reference main.py --is_test: restore (best) checkpoint, report accuracy.
 
     album_cache=True (default) dedupes context encoding across questions via
     eval_cache.py — identical logits, much faster on album-heavy splits;
     album_cache=False is the reference-shaped full re-encode per question.
     attention_path: also dump per-question attention maps (dump_attention).
+    by_category: also report the papers' per-question-category accuracy table
+    (what/who/when/where/how-many — data/categories.py) under m["by_category"].
     """
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
@@ -673,11 +676,17 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     state = jax.device_put(ckpt.restore(state, best=load_best), jax.devices()[0])
     timer = Timer()
     timer.start()
+    cache = None
     if album_cache:
-        from fvta_memexqa_tpu.eval_cache import evaluate_cached
+        from fvta_memexqa_tpu.eval_cache import (evaluate_cached,
+                                                 precompute_album_cache)
 
+        if by_category:  # build once, share with the per-question pass below
+            vt, pt = make_eval_tables(model, state.params, shared)
+            cache = precompute_album_cache(cfg, model, state.params, shared,
+                                           vocab_table=vt, photo_table=pt)
         m = evaluate_cached(cfg, model, state.params, shared, ds,
-                            cfg.train.eval_batch_size)
+                            cfg.train.eval_batch_size, cache=cache)
     else:
         eval_step = make_eval_step(cfg, model)
         vt, pt = make_eval_tables(model, state.params, shared)
@@ -687,9 +696,74 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],
             wall_s=timer.samples[0])
+    if by_category:
+        from fvta_memexqa_tpu.data.categories import (accuracy_by_category,
+                                                      question_categories)
+        from fvta_memexqa_tpu.eval_cache import predict_cached
+
+        pr = predict_cached(cfg, model, state.params, shared, ds,
+                            cfg.train.eval_batch_size, cache=cache)
+        bc = accuracy_by_category(question_categories(packed, split),
+                                  pr["pred"] == pr["label"])
+        m["by_category"] = bc
+        log.log("test_by_category", split=split,
+                **{k: v["acc"] for k, v in bc.items()})
     if attention_path:
         n = dump_attention(cfg, model, state.params, shared, ds,
                            cfg.train.eval_batch_size, attention_path)
         log.log("attention_dump", split=split, path=attention_path, count=n)
+    log.close()
+    return m
+
+
+def test_ensemble(cfg: Config, packed, out_dirs: list[str],
+                  load_best: bool = True, split: str = "test",
+                  metrics_path: str | None = None, echo: bool = True) -> dict:
+    """Checkpoint ensembling: average per-question choice probabilities across
+    runs, argmax the mean. The reference main.py has no ensemble mode, but the
+    papers' strongest reported MemexQA numbers are ensembles (SURVEY.md §6);
+    this is the tester-surface equivalent. All runs must share the pack; each
+    member is restored under its own saved config (so e.g. attention-variant
+    ablation runs can ensemble), evaluated through the album cache, and
+    reported individually alongside the ensemble accuracy.
+    """
+    import os as _os
+
+    import numpy as np
+
+    from fvta_memexqa_tpu.config import load_config
+    from fvta_memexqa_tpu.eval_cache import predict_cached
+
+    probs_sum, labels, qid0, members = None, None, None, []
+    for d in out_dirs:
+        cfg_path = _os.path.join(d, "config.json")
+        mcfg = (load_config(cfg_path) if _os.path.exists(cfg_path)
+                else cfg).replace(data=packed.cfg)
+        import dataclasses as _dc
+
+        # same CPU-eval trap as cli.cmd_test: inference ships XLA
+        mcfg = mcfg.replace(model=_dc.replace(mcfg.model,
+                                              use_pallas=cfg.model.use_pallas))
+        model = FVTAModel(cfg=mcfg)
+        shared = SharedTables.from_packed(packed.shared)
+        ds = Dataset(packed, split)
+        first = device_put_batch(
+            next(iter(ds.get_batches(mcfg.train.eval_batch_size))))
+        state = init_state(mcfg, model, shared, first)
+        state = jax.device_put(CheckpointManager(d, mcfg).restore(
+            state, best=load_best), jax.devices()[0])
+        pr = predict_cached(mcfg, model, state.params, shared, ds,
+                            mcfg.train.eval_batch_size)
+        if qid0 is None:
+            qid0, labels = pr["qid"], pr["label"]
+        members.append({"dir": d,
+                        "acc": float((pr["pred"] == pr["label"]).mean())})
+        probs_sum = pr["probs"] if probs_sum is None else probs_sum + pr["probs"]
+    probs = probs_sum / len(out_dirs)
+    acc = float((np.argmax(probs, -1) == labels).mean())
+    m = {"acc": acc, "count": int(labels.shape[0]), "members": members}
+    log = MetricsLogger(metrics_path, echo=echo)
+    log.log("test_ensemble", split=split, acc=acc, count=m["count"],
+            member_accs=[mm["acc"] for mm in members])
     log.close()
     return m

@@ -62,6 +62,30 @@ class TestOverfit:
         assert m["acc"] == 1.0  # restored params reproduce the overfit exactly
         assert m["count"] == Dataset(packed_synth, "train").n
 
+    def test_by_category_breakdown(self, packed_synth, trained):
+        """--by-category: the paper-table split must aggregate back to the
+        overall accuracy (data/categories.py)."""
+        cfg, res, out = trained
+        m = run_test(cfg, packed_synth, out, load_best=True, split="train",
+                     echo=False, by_category=True)
+        bc = m["by_category"]
+        assert sum(v["count"] for v in bc.values()) == m["count"]
+        overall = sum(v["acc"] * v["count"] for v in bc.values()) / m["count"]
+        np.testing.assert_allclose(overall, m["acc"], rtol=1e-6)
+
+    def test_self_ensemble_matches_single(self, packed_synth, trained):
+        """Averaging a run with itself is the run: ensemble plumbing exact."""
+        from fvta_memexqa_tpu.train import test_ensemble
+
+        cfg, res, out = trained
+        single = run_test(cfg, packed_synth, out, load_best=True, split="train",
+                          echo=False)
+        ens = test_ensemble(cfg, packed_synth, [out, out], load_best=True,
+                            split="train", echo=False)
+        assert ens["acc"] == single["acc"]
+        assert [mm["acc"] for mm in ens["members"]] == [single["acc"]] * 2
+        assert ens["count"] == single["count"]
+
     def test_attention_dump(self, packed_synth, trained, tmp_path, capsys):
         """test(attention_path=...) writes the qualitative-analysis tensors,
         consistent with the reported metrics."""
@@ -138,13 +162,18 @@ class TestCLI:
             "--val-period", "5", "--log-period", "5",
         ]))
         assert out["steps"] > 0
-        out = json.loads(run(["test", packdir, rundir]))
+        out = json.loads(run(["test", packdir, rundir, "--by-category"]))
         assert 0.0 <= out["accuracy"] <= 1.0 and out["count"] == 3
+        assert sum(v["count"] for v in out["by_category"].values()) == out["count"]
         assert os.path.exists(os.path.join(rundir, "config.json"))
         assert os.path.exists(os.path.join(rundir, "metrics.jsonl"))
         # cached and uncached eval agree through the CLI too
         out2 = json.loads(run(["test", packdir, rundir, "--no-album-cache"]))
         assert out2["accuracy"] == out["accuracy"]
+        # a self-ensemble reproduces the single-run accuracy through the CLI
+        out5 = json.loads(run(["test", packdir, rundir, "--ensemble", rundir]))
+        assert out5["accuracy"] == out["accuracy"]
+        assert [m["acc"] for m in out5["members"]] == [out["accuracy"]] * 2
         # one-shot prediction against an ingested raw album
         out3 = json.loads(run([
             "predict", packdir, rundir, "--question", "where did we go ?",
