@@ -102,6 +102,29 @@ def _single_album_inputs(cfg: Config, vocab: Vocab, album: Album,
     )
 
 
+def _quant_h(h, mode: str):
+    """f32 h block → its cached representation (see AlbumStore cache_dtype).
+
+    int8 entries are a {"q": int8, "s": f32 per-row scale} pytree — everything
+    downstream (device_put, orbax save/restore, byte accounting) treats the
+    entry as a pytree, so the representation never leaks past _dequant_h."""
+    if isinstance(h, dict):
+        return h  # already encoded (cache restore path)
+    if mode == "int8":
+        s = jnp.max(jnp.abs(h), axis=-1, keepdims=True).astype(jnp.float32)
+        s = jnp.where(s == 0, jnp.float32(127.0), s) / 127.0  # all-pad rows
+        return {"q": jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8),
+                "s": s}
+    return h.astype(jnp.bfloat16 if mode == "bfloat16" else jnp.float32)
+
+
+def _dequant_h(e):
+    """Cached representation → f32 (exact for f32/bf16 entries)."""
+    if isinstance(e, dict):
+        return e["q"].astype(jnp.float32) * e["s"]
+    return e.astype(jnp.float32)
+
+
 class AlbumStore:
     """Thread-safe LRU cache: album_id → encoded context states on device.
 
@@ -119,17 +142,21 @@ class AlbumStore:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
-        # cache_dtype="bfloat16" halves the per-album cache footprint (the h
-        # states dominate; masks stay bool): encodings are cast on _put and
-        # upcast back to f32 by the query-side stack buffer (get_stacked).
-        # The encode itself stays f32 — only the CACHED copy is rounded, one
-        # rounding per value. Accuracy impact measured in tests/test_serve
-        # (identical top-1 on the synthetic pack; probs within bf16 noise).
-        if cache_dtype not in ("float32", "bfloat16"):
+        # cache_dtype shrinks the per-album cache footprint (the h states
+        # dominate; masks stay bool): encodings are compressed on _put and
+        # restored to f32 on the query side (get_stacked). The encode itself
+        # stays f32 — only the CACHED copy is rounded, one rounding per value.
+        #   bfloat16 — 0.5x bytes, plain cast.
+        #   int8     — ~0.26x bytes: symmetric per-(modality,timestep)-row
+        #              max-abs quantization (_quant_h). LSTM outputs are
+        #              bounded (h = o*tanh(c)), so a per-row scale keeps ~8
+        #              significant bits across each 2H-channel row.
+        # Accuracy impact measured in tests/test_serve (identical top-1 on the
+        # synthetic pack for both; probs within the rounding noise).
+        if cache_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unknown cache_dtype {cache_dtype!r} "
-                             "(expected float32 | bfloat16)")
-        self._cache_dtype = jnp.bfloat16 if cache_dtype == "bfloat16" \
-            else jnp.float32
+                             "(expected float32 | bfloat16 | int8)")
+        self._cache_mode = cache_dtype
         # Cache-sharded multi-chip serving (ROADMAP #8): place each album's
         # encoded states on ONE mesh device (hash of the album id → home
         # device), so aggregate cache capacity scales with the mesh instead of
@@ -205,7 +232,8 @@ class AlbumStore:
 
     @staticmethod
     def _entry_bytes(h, m) -> int:
-        return int(h.size * h.dtype.itemsize + m.size * m.dtype.itemsize)
+        return int(sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves((h, m))))
 
     def _home_device(self, album_id: str) -> int:
         """Deterministic home-device index for a sharded-cache entry."""
@@ -218,7 +246,7 @@ class AlbumStore:
         on-demand re-encodes of previously saved entries) — otherwise re-encode
         churn under budget pressure would make the periodic saver refetch and
         rewrite the whole cache every period."""
-        h = h.astype(self._cache_dtype)
+        h = _quant_h(h, self._cache_mode)
         di = None
         if self.shard_cache:
             # commit the entry to its home device BEFORE taking the lock (the
@@ -371,13 +399,13 @@ class AlbumStore:
                 self.reencodes += 1
                 # answers must not depend on cache state: serve the same
                 # cache_dtype rounding a cached hit would have returned
-                entries.append((h[0].astype(self._cache_dtype), m[0]))
+                entries.append((_quant_h(h[0], self._cache_mode), m[0]))
             elif a in self._pack_rows:  # pack album: re-encode from its row
                 h, m = self._encode_pack_rows(
                     np.asarray([self._pack_rows[a]], np.int64))
                 self._put(a, h[0], m[0], mark_dirty=False)
                 self.reencodes += 1
-                entries.append((h[0].astype(self._cache_dtype), m[0]))
+                entries.append((_quant_h(h[0], self._cache_mode), m[0]))
         if self.shard_cache and entries:
             # pull the referenced entries to one device (ICI device-to-device
             # fetch) — committed arrays on different devices cannot feed one
@@ -389,7 +417,7 @@ class AlbumStore:
         h = jnp.zeros((d.max_albums * n_mod, t, h2), jnp.float32)
         m = jnp.zeros((d.max_albums * n_mod, t), bool)
         for i, (eh, em) in enumerate(entries):
-            h = h.at[i * n_mod : (i + 1) * n_mod].set(eh)
+            h = h.at[i * n_mod : (i + 1) * n_mod].set(_dequant_h(eh))
             m = m.at[i * n_mod : (i + 1) * n_mod].set(em)
         return h, m, len(entries)
 
@@ -435,8 +463,11 @@ class AlbumStore:
         # the load stays clean (restored state == on-disk state), and one with
         # unsaved entries stays dirty for the next periodic save.
         for a, h, m in zip(ids, tree["h"], tree["m"]):
-            self._put(a, jnp.asarray(h), jnp.asarray(m.astype(bool)
-                                                     if hasattr(m, "astype") else m),
+            # int8 entries restore as their {"q","s"} pytree; _quant_h passes
+            # an already-encoded dict through untouched
+            h = h if isinstance(h, dict) else jnp.asarray(h)
+            self._put(a, h, jnp.asarray(m.astype(bool)
+                                        if hasattr(m, "astype") else m),
                       mark_dirty=False)
         return len(ids)
 
@@ -976,11 +1007,12 @@ def main(argv):
                    help="album_info.json to pre-ingest (with --raw-photo-npz)")
     p.add_argument("--raw-photo-npz", default=None)
     p.add_argument("--cache-dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="dtype of CACHED album encodings: bfloat16 halves the "
-                        "cache footprint (2x albums per byte budget / per "
-                        "chip with --shard-cache) at bf16 rounding of the "
-                        "cached states only — encode and answer math stay "
+                        "cache footprint, int8 (per-row max-abs quantization) "
+                        "cuts it ~4x (that many more albums per byte budget / "
+                        "per chip with --shard-cache) — rounding applies to "
+                        "the cached states only; encode and answer math stay "
                         "f32 (accuracy delta measured in tests)")
     p.add_argument("--no-preingest", action="store_true",
                    help="skip batch-encoding the pack's own albums at startup "

@@ -150,6 +150,87 @@ class TestCacheDtype:
                        cache_dtype="float16")
 
 
+class TestCacheDtypeInt8:
+    """--cache-dtype int8: ~4x cache capacity via symmetric per-row max-abs
+    quantization of the cached states (encode + answer math stay f32)."""
+
+    @pytest.fixture(scope="class")
+    def int8_store(self, served, small_config):
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="int8")
+        for a in albums.values():
+            s2.ingest(a, feats)
+        return s2
+
+    def test_quarters_cache_bytes(self, served, int8_store):
+        *_, store, albums, feats = served
+        assert int8_store.num_albums == store.num_albums
+        # int8 h + f32 per-row scale + unchanged bool masks ≈ 0.26x of f32 h
+        assert int8_store.cache_bytes < 0.3 * store.cache_bytes
+
+    def test_quantization_error_bounded(self, served, int8_store):
+        """Dequantized states within half a quantization step of the f32
+        truth, per (modality, timestep) row."""
+        from fvta_memexqa_tpu.serve import _dequant_h
+
+        *_, store, albums, feats = served
+        for aid in sorted(albums)[:3]:
+            h_f32 = np.asarray(store._store[aid][0])
+            e = int8_store._store[aid]
+            h_q = np.asarray(_dequant_h(e[0]))
+            step = np.asarray(e[0]["s"])  # [6, T, 1]
+            assert np.all(np.abs(h_q - h_f32) <= 0.5 * step + 1e-7)
+
+    def test_answers_match_f32_store(self, served, int8_store):
+        *_, store, albums, feats = served
+        e1 = QAEngine(store, batch_size=4, batch_window_ms=1.0)
+        e2 = QAEngine(int8_store, batch_size=4, batch_window_ms=1.0)
+        try:
+            for aid in sorted(albums)[:4]:
+                a = albums[aid]
+                q = f"where did we go on {a.title} ?"
+                ch = [a.where, "nowhere", "space", "atlantis"]
+                r1, r2 = e1.ask(q, ch, [aid]), e2.ask(q, ch, [aid])
+                assert r1["answer_index"] == r2["answer_index"]
+                np.testing.assert_allclose(r1["probs"], r2["probs"], atol=0.05)
+        finally:
+            e1.close()
+            e2.close()
+
+    def test_reencode_matches_cached_hit(self, served, small_config):
+        """Answers must not depend on cache state: an evicted-and-re-encoded
+        entry serves the SAME int8 rounding a cached hit would."""
+        model, params, shared, store, albums, feats = served
+        s2 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="int8")
+        aid = sorted(albums)[0]
+        s2.ingest(albums[aid], feats)
+        h_hit, m_hit, n = s2.get_stacked([aid])
+        with s2._lock:  # simulate a device-cache eviction
+            e = s2._store.pop(aid)
+            s2._bytes -= s2._entry_bytes(*e)
+        h_re, m_re, n2 = s2.get_stacked([aid])
+        assert n == n2 == 1 and s2.reencodes == 1
+        np.testing.assert_array_equal(np.asarray(h_hit), np.asarray(h_re))
+        np.testing.assert_array_equal(np.asarray(m_hit), np.asarray(m_re))
+
+    def test_save_load_roundtrip(self, int8_store, served, small_config,
+                                 tmp_path):
+        model, params, shared, store, albums, feats = served
+        path = str(tmp_path / "int8cache")
+        assert int8_store.save(path)
+        s3 = AlbumStore(small_config, model, params, shared, store.vocab,
+                        cache_dtype="int8")
+        assert s3.load(path) == int8_store.num_albums
+        assert s3.cache_bytes == int8_store.cache_bytes
+        aid = sorted(albums)[0]
+        assert np.asarray(s3._store[aid][0]["q"]).dtype == np.int8
+        h1, m1, _ = int8_store.get_stacked([aid])
+        h2, m2, _ = s3.get_stacked([aid])
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
 class TestQAEngine:
     def test_answers_derivable_question(self, served):
         model, params, shared, store, albums, feats = served
