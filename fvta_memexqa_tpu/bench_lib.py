@@ -364,13 +364,18 @@ def bench_train_dedup(cfg: Config, batch_size: int = 64, k_small: int = 10,
 
 def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
                            k_large: int = 250, reps: int = 3, seed: int = 0,
-                           prebuilt=None):
+                           prebuilt=None, cache_dtype: str = "float32"):
     """Test-set inference throughput through the album-encoding cache
     (eval_cache.py): the TPU-native restructuring of BASELINE.json config 1 —
     identical logits to the full forward, context encoders amortized across the
     questions sharing albums. Returns (qa_pairs_per_sec, cache_seconds,
     prebuilt) where prebuilt = (params, cache_h, cache_m, vt, pt) can be passed
-    back in to reuse the (batch-size-independent) album cache across a sweep."""
+    back in to reuse the (batch-size-independent) album cache across a sweep.
+
+    cache_dtype="bfloat16" stores the album cache in bf16 and upcasts to f32
+    right after the per-question gather — halves the gather's HBM bytes while
+    keeping the answer math f32 (the HBM-bound-cached-eval experiment;
+    BASELINE.md records the verdict)."""
     import time
     from functools import partial
 
@@ -400,6 +405,9 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
 
     from fvta_memexqa_tpu.eval_cache import gather_cached_context
 
+    if cache_dtype == "bfloat16":
+        cache_h = cache_h.astype(jnp.bfloat16)
+
     @partial(jax.jit, static_argnums=5)
     def loop(p, sh, b, cache, vt, k):
         ch, cm = cache
@@ -413,6 +421,7 @@ def bench_cached_inference(cfg: Config, batch_size: int = 64, k_small: int = 25,
             # vt loop-invariant by design: cached per checkpoint in production
             h_ctx, ctx_mask = gather_cached_context(ch, cm, b2.album_idx,
                                                     b2.album_mask)
+            h_ctx = h_ctx.astype(jnp.float32)  # no-op for the f32 cache
             out = model.apply(p, sh, mi, h_ctx, ctx_mask, train=False,
                               vocab_table=vt, method=model.answer)
             s = out.logits.sum()

@@ -234,9 +234,13 @@ def cmd_test(argv):
         dirs = [args.rundir] + [d for d in args.ensemble.split(",") if d]
         m = test_ensemble(cfg, packed, dirs, load_best=not args.load_latest,
                           split=args.split,
-                          metrics_path=os.path.join(args.rundir, "metrics.jsonl"))
-        print(json.dumps({"split": args.split, "accuracy": m["acc"],
-                          "count": m["count"], "members": m["members"]}))
+                          metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
+                          by_category=args.by_category)
+        out = {"split": args.split, "accuracy": m["acc"],
+               "count": m["count"], "members": m["members"]}
+        if args.by_category:
+            out["by_category"] = m["by_category"]
+        print(json.dumps(out))
         return
     m = test(cfg, packed, args.rundir, load_best=not args.load_latest, split=args.split,
              metrics_path=os.path.join(args.rundir, "metrics.jsonl"),

@@ -718,7 +718,8 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
 
 def test_ensemble(cfg: Config, packed, out_dirs: list[str],
                   load_best: bool = True, split: str = "test",
-                  metrics_path: str | None = None, echo: bool = True) -> dict:
+                  metrics_path: str | None = None, echo: bool = True,
+                  by_category: bool = False) -> dict:
     """Checkpoint ensembling: average per-question choice probabilities across
     runs, argmax the mean. The reference main.py has no ensemble mode, but the
     papers' strongest reported MemexQA numbers are ensembles (SURVEY.md §6);
@@ -760,10 +761,19 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
                         "acc": float((pr["pred"] == pr["label"]).mean())})
         probs_sum = pr["probs"] if probs_sum is None else probs_sum + pr["probs"]
     probs = probs_sum / len(out_dirs)
-    acc = float((np.argmax(probs, -1) == labels).mean())
+    correct = np.argmax(probs, -1) == labels
+    acc = float(correct.mean())
     m = {"acc": acc, "count": int(labels.shape[0]), "members": members}
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test_ensemble", split=split, acc=acc, count=m["count"],
             member_accs=[mm["acc"] for mm in members])
+    if by_category:  # the papers' table rows, over the ensembled predictions
+        from fvta_memexqa_tpu.data.categories import (accuracy_by_category,
+                                                      question_categories)
+
+        m["by_category"] = accuracy_by_category(
+            question_categories(packed, split), correct)
+        log.log("test_by_category", split=split,
+                **{k: v["acc"] for k, v in m["by_category"].items()})
     log.close()
     return m

@@ -81,10 +81,15 @@ class TestOverfit:
         single = run_test(cfg, packed_synth, out, load_best=True, split="train",
                           echo=False)
         ens = test_ensemble(cfg, packed_synth, [out, out], load_best=True,
-                            split="train", echo=False)
+                            split="train", echo=False, by_category=True)
         assert ens["acc"] == single["acc"]
         assert [mm["acc"] for mm in ens["members"]] == [single["acc"]] * 2
         assert ens["count"] == single["count"]
+        # the two features compose: category rows over the ensembled preds
+        bc = ens["by_category"]
+        assert sum(v["count"] for v in bc.values()) == ens["count"]
+        overall = sum(v["acc"] * v["count"] for v in bc.values()) / ens["count"]
+        np.testing.assert_allclose(overall, ens["acc"], rtol=1e-6)
 
     def test_attention_dump(self, packed_synth, trained, tmp_path, capsys):
         """test(attention_path=...) writes the qualitative-analysis tensors,
