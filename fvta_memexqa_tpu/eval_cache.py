@@ -103,15 +103,27 @@ def _cached_probs_jit(model, params, shared, cache_h, cache_m, batch,
     return jax.nn.softmax(out.logits, -1)
 
 
+def _batch_transfer(mesh):
+    """Batch→device placement: DP-sharded over the mesh's "data" axis when a
+    mesh is given (GSPMD propagates the sharding through the plain-jit eval
+    steps; params/tables/cache stay replicated), single-device otherwise."""
+    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+
+    if mesh is None:
+        return device_put_batch
+    from fvta_memexqa_tpu.parallel.mesh import shard_batch
+
+    return lambda b: shard_batch(mesh, b)
+
+
 def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                   dataset, batch_size: int, cache=None) -> dict:
+                   dataset, batch_size: int, cache=None, mesh=None) -> dict:
     """Per-question choice probabilities through the album cache, in dataset
     order: {"qid" [N], "probs" [N,4], "pred" [N], "label" [N]}.
 
     The per-question view the accumulate-on-device evaluate_cached cannot
     give — feeds per-category reporting (data/categories.py) and checkpoint
     ensembling (train.test_ensemble). cache=None builds the album cache."""
-    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
     from fvta_memexqa_tpu.train import canonical_model, make_eval_tables
 
     vt, pt = make_eval_tables(model, params, shared)
@@ -119,10 +131,11 @@ def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
         cache = precompute_album_cache(cfg, model, params, shared,
                                        vocab_table=vt, photo_table=pt)
     cache_h, cache_m = cache
+    xfer = _batch_transfer(mesh)
     step = functools.partial(_cached_probs_jit, canonical_model(model))
     probs, labels = [], []
     for batch in dataset.get_batches(batch_size, shuffle=False):
-        batch = device_put_batch(batch)
+        batch = xfer(batch)
         p = np.asarray(step(params, shared, cache_h, cache_m, batch, vt))
         keep = np.asarray(batch.ex_mask)
         probs.append(p[keep])
@@ -134,12 +147,11 @@ def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 
 
 def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                    dataset, batch_size: int, cache=None) -> dict:
+                    dataset, batch_size: int, cache=None, mesh=None) -> dict:
     """Full-split evaluation through the album cache. Returns reference-compatible
-    {"acc", "loss", "count"} plus cache timing."""
+    {"acc", "loss", "count"} plus cache timing. mesh: DP-shard the query
+    micro-batches over the mesh's "data" axis (cache/params replicated)."""
     import time
-
-    from fvta_memexqa_tpu.data.device_prepro import device_put_batch
 
     from fvta_memexqa_tpu.train import make_eval_tables
 
@@ -152,10 +164,11 @@ def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
         cache_h, cache_m = cache
     jax.block_until_ready(cache_h)
     cache_s = time.perf_counter() - t0
+    xfer = _batch_transfer(mesh)
     step = make_cached_eval_step(cfg, model)
     totals = None  # device-side accumulation; one host fetch at the end
     for batch in dataset.get_batches(batch_size, shuffle=False):
-        m = step(params, shared, cache_h, cache_m, device_put_batch(batch), vt)
+        m = step(params, shared, cache_h, cache_m, xfer(batch), vt)
         totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
     totals = jax.tree.map(float, totals or {"correct": 0.0, "count": 0.0,
                                             "loss_sum": 0.0})

@@ -622,7 +622,8 @@ def _attn_dump_step_jit(model, p, sh, b, vt=None, pt=None):
 
 
 def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
-                   dataset: Dataset, batch_size: int, path: str) -> int:
+                   dataset: Dataset, batch_size: int, path: str,
+                   mesh=None) -> int:
     """Write per-question FVTA attention maps + predictions to an .npz:
     qid [N], pred [N], label [N], probs [N,4], time_attn [N,S,T] (focal
     within-sequence weights), seq_attn [N,S] (across-sequence weights) —
@@ -630,9 +631,12 @@ def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     Returns the number of examples written."""
     import numpy as np
 
+    from fvta_memexqa_tpu.eval_cache import _batch_transfer
+
     vt, pt = make_eval_tables(model, params, shared)
     step = _functools.partial(_attn_dump_step_jit, canonical_model(model),
                               vt=vt, pt=pt)
+    xfer = _batch_transfer(mesh)
 
     rows = {"qid": [], "pred": [], "label": [], "probs": [],
             "time_attn": [], "seq_attn": []}
@@ -640,7 +644,7 @@ def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     seen = 0
     for batch in dataset.get_batches(batch_size, shuffle=False):
         probs, ta, sa = jax.tree.map(np.asarray,
-                                     step(params, shared, device_put_batch(batch)))
+                                     step(params, shared, xfer(batch)))
         keep = np.asarray(batch.ex_mask)
         rows["qid"].append(qids[seen: seen + int(keep.sum())])
         rows["pred"].append(np.argmax(probs, -1)[keep])
@@ -665,15 +669,23 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     attention_path: also dump per-question attention maps (dump_attention).
     by_category: also report the papers' per-question-category accuracy table
     (what/who/when/where/how-many — data/categories.py) under m["by_category"].
+    cfg.mesh.num_devices > 1: DP-shard the eval micro-batches over the mesh's
+    "data" axis (params/tables/cache replicated) — multi-chip evaluation from
+    the same `cli test --data-parallel N` surface train already has.
     """
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
+    mesh = make_mesh(cfg.mesh) if cfg.mesh.num_devices > 1 else None
+    if mesh is not None:
+        shared = jax.device_put(shared, replicated(mesh))
     ds = Dataset(packed, split)
     first = device_put_batch(next(iter(ds.get_batches(cfg.train.eval_batch_size))))
     state = init_state(cfg, model, shared, first)
     ckpt = CheckpointManager(out_dir, cfg)
     # same canonical placement as run_train (jit-key stability across paths)
-    state = jax.device_put(ckpt.restore(state, best=load_best), jax.devices()[0])
+    state = jax.device_put(
+        ckpt.restore(state, best=load_best),
+        replicated(mesh) if mesh is not None else jax.devices()[0])
     timer = Timer()
     timer.start()
     cache = None
@@ -686,12 +698,12 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
             cache = precompute_album_cache(cfg, model, state.params, shared,
                                            vocab_table=vt, photo_table=pt)
         m = evaluate_cached(cfg, model, state.params, shared, ds,
-                            cfg.train.eval_batch_size, cache=cache)
+                            cfg.train.eval_batch_size, cache=cache, mesh=mesh)
     else:
         eval_step = make_eval_step(cfg, model)
         vt, pt = make_eval_tables(model, state.params, shared)
         m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size,
-                     vocab_table=vt, photo_table=pt)
+                     mesh=mesh, vocab_table=vt, photo_table=pt)
     timer.stop()
     log = MetricsLogger(metrics_path, echo=echo)
     log.log("test", split=split, acc=m["acc"], loss=m["loss"], count=m["count"],
@@ -702,7 +714,7 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
         from fvta_memexqa_tpu.eval_cache import predict_cached
 
         pr = predict_cached(cfg, model, state.params, shared, ds,
-                            cfg.train.eval_batch_size, cache=cache)
+                            cfg.train.eval_batch_size, cache=cache, mesh=mesh)
         bc = accuracy_by_category(question_categories(packed, split),
                                   pr["pred"] == pr["label"])
         m["by_category"] = bc
@@ -710,7 +722,7 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
                 **{k: v["acc"] for k, v in bc.items()})
     if attention_path:
         n = dump_attention(cfg, model, state.params, shared, ds,
-                           cfg.train.eval_batch_size, attention_path)
+                           cfg.train.eval_batch_size, attention_path, mesh=mesh)
         log.log("attention_dump", split=split, path=attention_path, count=n)
     log.close()
     return m

@@ -148,6 +148,33 @@ class TestElasticResume:
 
 
 class TestDPEval:
+    def test_test_fn_on_mesh_matches_single_device(self, packed_synth,
+                                                   small_config, tmp_path):
+        """train.test() honors cfg.mesh (the `cli test --data-parallel N`
+        surface): cached AND uncached DP-8 evaluation of a checkpoint match
+        the single-device result, by-category breakdown included."""
+        from fvta_memexqa_tpu.config import TrainConfig
+        from fvta_memexqa_tpu.train import test as run_test
+        from fvta_memexqa_tpu.train import train as run_train
+
+        tc = TrainConfig(batch_size=8, eval_batch_size=8, learning_rate=1e-3,
+                         num_epochs=1, val_period=2, save_period=100,
+                         log_period=4, seed=0)
+        cfg1 = small_config.replace(train=tc)
+        out = str(tmp_path / "run")
+        run_train(cfg1, packed_synth, out, echo=False)
+        ref = run_test(cfg1, packed_synth, out, load_best=True, split="train",
+                       echo=False, by_category=True)
+        cfg8 = cfg1.replace(mesh=MeshConfig(data_parallel=8))
+        got_c = run_test(cfg8, packed_synth, out, load_best=True, split="train",
+                         echo=False, by_category=True)
+        got_u = run_test(cfg8, packed_synth, out, load_best=True, split="train",
+                         echo=False, album_cache=False)
+        for got in (got_c, got_u):
+            assert got["count"] == ref["count"]
+            assert got["acc"] == pytest.approx(ref["acc"], abs=1e-6)
+        assert got_c["by_category"] == ref["by_category"]
+
     def test_mesh_eval_with_frozen_tables_matches_single_device(
             self, packed_synth, small_config):
         """Full-split evaluation on the DP mesh consuming BOTH per-checkpoint
