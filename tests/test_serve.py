@@ -215,6 +215,29 @@ class TestCacheDtypeInt8:
         np.testing.assert_array_equal(np.asarray(h_hit), np.asarray(h_re))
         np.testing.assert_array_equal(np.asarray(m_hit), np.asarray(m_re))
 
+    def test_composes_with_shard_cache(self, served, int8_store, small_config):
+        """int8 entries are pytrees — they must still commit to their hash
+        home device under --shard-cache and answer identically."""
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.parallel.mesh import make_mesh
+
+        model, params, shared, store, albums, feats = served
+        mesh = make_mesh(MeshConfig(data_parallel=4))
+        s = AlbumStore(small_config, model, params, shared, store.vocab,
+                       mesh=mesh, shard_cache=True, cache_dtype="int8")
+        for a in albums.values():
+            s.ingest(a, feats)
+        per_dev = s.cache_bytes_per_device
+        assert sum(per_dev) == s.cache_bytes == int8_store.cache_bytes
+        for aid in albums:
+            e = s._store[aid]
+            want = {s._cache_devices[s._home_device(aid)]}
+            assert e[0]["q"].devices() == want
+            assert e[0]["s"].devices() == want
+            h1, m1, _ = int8_store.get_stacked([aid])
+            h2, m2, _ = s.get_stacked([aid])
+            np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
     def test_save_load_roundtrip(self, int8_store, served, small_config,
                                  tmp_path):
         model, params, shared, store, albums, feats = served
