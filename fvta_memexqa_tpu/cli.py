@@ -169,6 +169,11 @@ def cmd_ablate(argv):
     p = _train_test_parser("fvta ablate")
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--variants", default="fvta,flat,none")
+    p.add_argument("--seeds", default=None, metavar="S0[,S1...]",
+                   help="train each variant at every seed and report per-seed "
+                        "accuracies + the mean (one seed proves nothing — the "
+                        "BASELINE.md focal-ablation lesson, now a first-class "
+                        "sweep axis); default: the single configured seed")
     args = p.parse_args(argv)
     import dataclasses as _dc
 
@@ -184,18 +189,36 @@ def cmd_ablate(argv):
 
         base = base.replace(model=_dc.replace(
             base.model, use_pallas=_jax.default_backend() == "tpu"))
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [base.train.seed])
     results = {}
     for variant in args.variants.split(","):
-        cfg = base.replace(model=_dc.replace(base.model, attention=variant))
-        rundir = os.path.join(args.rundir, variant)
-        os.makedirs(rundir, exist_ok=True)
-        res = run_train(cfg, packed, rundir, num_steps=args.num_steps,
-                        metrics_path=os.path.join(rundir, "metrics.jsonl"), echo=False)
-        m = run_test(cfg, packed, rundir, load_best=True, echo=False)
-        results[variant] = {"val_acc": res["best_val_acc"], "test_acc": m["acc"],
-                            "steps": res["steps"]}
-        print(f"[ablate] {variant}: val={res['best_val_acc']:.4f} "
-              f"test={m['acc']:.4f}", file=sys.stderr)
+        per_seed = {}
+        for seed in seeds:
+            cfg = base.replace(
+                model=_dc.replace(base.model, attention=variant),
+                train=_dc.replace(base.train, seed=seed))
+            # single-seed keeps the historical rundir layout (rundir/<variant>)
+            leaf = variant if len(seeds) == 1 else f"{variant}_s{seed}"
+            rundir = os.path.join(args.rundir, leaf)
+            os.makedirs(rundir, exist_ok=True)
+            res = run_train(cfg, packed, rundir, num_steps=args.num_steps,
+                            metrics_path=os.path.join(rundir, "metrics.jsonl"),
+                            echo=False)
+            m = run_test(cfg, packed, rundir, load_best=True, echo=False)
+            per_seed[str(seed)] = {"val_acc": res["best_val_acc"],
+                                   "test_acc": m["acc"], "steps": res["steps"]}
+            print(f"[ablate] {variant} seed={seed}: "
+                  f"val={res['best_val_acc']:.4f} test={m['acc']:.4f}",
+                  file=sys.stderr)
+        n = len(per_seed)
+        results[variant] = {
+            "val_acc": sum(v["val_acc"] for v in per_seed.values()) / n,
+            "test_acc": sum(v["test_acc"] for v in per_seed.values()) / n,
+            "steps": per_seed[str(seeds[0])]["steps"],
+        }
+        if n > 1:  # per-seed detail only in the multi-seed regime
+            results[variant]["per_seed"] = per_seed
     print(json.dumps(results))
 
 

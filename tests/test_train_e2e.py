@@ -223,7 +223,18 @@ class TestCLI:
                               "--batch-size", "4", "--val-period", "50",
                               "--variants", "fvta,none"]))
         assert set(out) == {"fvta", "none"}
-        assert all("test_acc" in v for v in out.values())
+        assert all("test_acc" in v and "per_seed" not in v
+                   for v in out.values())
+        # multi-seed sweep axis: per-seed detail + the mean
+        out2 = json.loads(run(["ablate", packdir, str(tmp_path / "abl2"),
+                               "--hidden-dim", "8", "--char-emb-dim", "4",
+                               "--char-cnn-filters", "8", "--num-steps", "2",
+                               "--batch-size", "4", "--val-period", "50",
+                               "--variants", "none", "--seeds", "0,1"]))
+        v = out2["none"]
+        assert set(v["per_seed"]) == {"0", "1"}
+        want = sum(s["test_acc"] for s in v["per_seed"].values()) / 2
+        assert v["test_acc"] == pytest.approx(want, abs=1e-9)
 
     def test_video_cli(self, tmp_path):
         # --cp 2: the context-parallel training surface (frame axis sharded
