@@ -942,6 +942,73 @@ def cmd_attention_report(argv):
     return 0
 
 
+def cmd_report(argv):
+    """Post-hoc summary of a run dir's metrics.jsonl: training progress, best
+    val, every recorded test/by-category/ensemble result. The reference's only
+    observability was live print/tqdm (SURVEY.md §5 metrics row); here the
+    JSONL record is the source of truth and this renders it."""
+    p = argparse.ArgumentParser(prog="fvta report")
+    p.add_argument("rundir")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable summary instead of the table")
+    args = p.parse_args(argv)
+    path = os.path.join(args.rundir, "metrics.jsonl")
+    if not os.path.exists(path):
+        print(f"no metrics.jsonl under {args.rundir}", file=sys.stderr)
+        return 1
+    with open(path) as f:
+        events = [json.loads(line) for line in f if line.strip()]
+    by = lambda ev: [e for e in events if e["event"] == ev]  # noqa: E731
+    trains, vals, tests = by("train"), by("val"), by("test")
+    bycat, ens = by("test_by_category"), by("test_ensemble")
+    strip = lambda e, drop=("event", "time"): {  # noqa: E731
+        k: v for k, v in e.items() if k not in drop}
+    best_val = max(vals, key=lambda v: v["acc"], default=None)
+    summary = {
+        "steps": trains[-1]["step"] if trains else 0,
+        "final_train_loss": trains[-1]["loss"] if trains else None,
+        "train_qa_pairs_per_sec": (trains[-1].get("qa_pairs_per_sec")
+                                   if trains else None),
+        "best_val_acc": best_val["acc"] if best_val else None,
+        "best_val_step": best_val["step"] if best_val else None,
+        "val_evals": len(vals),
+        "tests": [strip(t) for t in tests],
+        "by_category": strip(bycat[-1], ("event", "time", "split"))
+        if bycat else None,
+        "ensembles": [strip(e) for e in ens],
+    }
+    if args.json:
+        print(json.dumps(summary))
+        return 0
+    print(f"run: {args.rundir}")
+    cfg_path = os.path.join(args.rundir, "config.json")
+    if os.path.exists(cfg_path):
+        from fvta_memexqa_tpu.config import load_config
+
+        c = load_config(cfg_path)
+        print(f"model: attention={c.model.attention} hidden={c.model.hidden_dim}"
+              f" | train: bs={c.train.batch_size} lr={c.train.learning_rate}"
+              f" opt={c.train.optimizer}")
+    if trains:
+        print(f"train: {summary['steps']} steps, final loss "
+              f"{summary['final_train_loss']:.4f}"
+              + (f", {summary['train_qa_pairs_per_sec']:.0f} qa/s"
+                 if summary["train_qa_pairs_per_sec"] else ""))
+    if best_val:
+        print(f"val:   best acc {best_val['acc']:.4f} @ step "
+              f"{best_val['step']} ({len(vals)} evals)")
+    for t in summary["tests"]:
+        print(f"test:  {t.get('split', '?')}: acc {t['acc']:.4f} "
+              f"({t.get('count', '?')} questions)")
+    if summary["by_category"]:
+        print("by category: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in summary["by_category"].items()))
+    for e in summary["ensembles"]:
+        print(f"ensemble: {e.get('split', '?')}: acc {e['acc']:.4f} "
+              f"(members {e.get('member_accs')})")
+    return 0
+
+
 COMMANDS = {
     "prepro": cmd_prepro,
     "train": cmd_train,
@@ -957,6 +1024,7 @@ COMMANDS = {
     "import-tf-checkpoint": cmd_import_tf,
     "export-tf-checkpoint": cmd_export_tf,
     "attention-report": cmd_attention_report,
+    "report": cmd_report,
 }
 
 

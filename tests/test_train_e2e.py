@@ -62,6 +62,30 @@ class TestOverfit:
         assert m["acc"] == 1.0  # restored params reproduce the overfit exactly
         assert m["count"] == Dataset(packed_synth, "train").n
 
+    def test_report_cli(self, packed_synth, trained, capsys):
+        """cli report renders the run's JSONL record (train/val/test rows,
+        by-category table), JSON and human views."""
+        import shutil
+
+        cfg, res, out = trained
+        # the fixture logs to m.jsonl; report reads the standard name
+        shutil.copyfile(os.path.join(out, "m.jsonl"),
+                        os.path.join(out, "metrics.jsonl"))
+        run_test(cfg, packed_synth, out, load_best=True, split="train",
+                 echo=False, by_category=True,
+                 metrics_path=os.path.join(out, "metrics.jsonl"))
+        from fvta_memexqa_tpu.cli import cmd_report
+
+        assert cmd_report([out, "--json"]) == 0
+        s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0 < s["steps"] <= res["steps"]
+        assert s["best_val_acc"] == res["best_val_acc"]
+        assert s["tests"] and s["tests"][-1]["acc"] == 1.0
+        assert s["by_category"]
+        assert cmd_report([out]) == 0  # human view renders
+        assert "best acc" in capsys.readouterr().out
+        assert cmd_report([str(out) + "_nope"]) == 1  # missing dir → rc 1
+
     def test_by_category_breakdown(self, packed_synth, trained):
         """--by-category: the paper-table split must aggregate back to the
         overall accuracy (data/categories.py)."""
