@@ -963,13 +963,18 @@ def cmd_report(argv):
     bycat, ens = by("test_by_category"), by("test_ensemble")
     strip = lambda e, drop=("event", "time"): {  # noqa: E731
         k: v for k, v in e.items() if k not in drop}
-    best_val = max(vals, key=lambda v: v["acc"], default=None)
+    # video count-task runs record "mse" (lower is better) instead of "acc"
+    accs = [v for v in vals if "acc" in v]
+    mses = [v for v in vals if "acc" not in v and "mse" in v]
+    best_val = (max(accs, key=lambda v: v["acc"]) if accs
+                else min(mses, key=lambda v: v["mse"]) if mses else None)
     summary = {
         "steps": trains[-1]["step"] if trains else 0,
         "final_train_loss": trains[-1]["loss"] if trains else None,
         "train_qa_pairs_per_sec": (trains[-1].get("qa_pairs_per_sec")
                                    if trains else None),
-        "best_val_acc": best_val["acc"] if best_val else None,
+        "best_val_acc": best_val.get("acc") if best_val else None,
+        "best_val_mse": best_val.get("mse") if best_val else None,
         "best_val_step": best_val["step"] if best_val else None,
         "val_evals": len(vals),
         "tests": [strip(t) for t in tests],
@@ -983,22 +988,30 @@ def cmd_report(argv):
     print(f"run: {args.rundir}")
     cfg_path = os.path.join(args.rundir, "config.json")
     if os.path.exists(cfg_path):
-        from fvta_memexqa_tpu.config import load_config
+        try:
+            from fvta_memexqa_tpu.config import load_config
 
-        c = load_config(cfg_path)
-        print(f"model: attention={c.model.attention} hidden={c.model.hidden_dim}"
-              f" | train: bs={c.train.batch_size} lr={c.train.learning_rate}"
-              f" opt={c.train.optimizer}")
+            c = load_config(cfg_path)
+            print(f"model: attention={c.model.attention} "
+                  f"hidden={c.model.hidden_dim}"
+                  f" | train: bs={c.train.batch_size} "
+                  f"lr={c.train.learning_rate} opt={c.train.optimizer}")
+        except Exception:
+            pass  # video run dirs carry a different config schema
     if trains:
         print(f"train: {summary['steps']} steps, final loss "
               f"{summary['final_train_loss']:.4f}"
               + (f", {summary['train_qa_pairs_per_sec']:.0f} qa/s"
                  if summary["train_qa_pairs_per_sec"] else ""))
     if best_val:
-        print(f"val:   best acc {best_val['acc']:.4f} @ step "
-              f"{best_val['step']} ({len(vals)} evals)")
+        metric = ("best acc " + format(best_val["acc"], ".4f")
+                  if "acc" in best_val
+                  else "best mse " + format(best_val["mse"], ".4f"))
+        print(f"val:   {metric} @ step {best_val['step']} ({len(vals)} evals)")
     for t in summary["tests"]:
-        print(f"test:  {t.get('split', '?')}: acc {t['acc']:.4f} "
+        score = (f"acc {t['acc']:.4f}" if "acc" in t
+                 else f"mse {t['mse']:.4f}" if "mse" in t else "?")
+        print(f"test:  {t.get('split', '?')}: {score} "
               f"({t.get('count', '?')} questions)")
     if summary["by_category"]:
         print("by category: " + "  ".join(

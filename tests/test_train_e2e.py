@@ -86,6 +86,28 @@ class TestOverfit:
         assert "best acc" in capsys.readouterr().out
         assert cmd_report([str(out) + "_nope"]) == 1  # missing dir → rc 1
 
+    def test_report_cli_video_mse(self, tmp_path, capsys):
+        """report degrades to mse rows (video count-task run dirs)."""
+        run = tmp_path / "vrun"
+        run.mkdir()
+        rows = [
+            {"event": "train", "time": 0, "step": 10, "loss": 1.0},
+            {"event": "val", "time": 0, "step": 10, "mse": 2.5, "count": 8},
+            {"event": "val", "time": 0, "step": 20, "mse": 1.5, "count": 8},
+            {"event": "test", "time": 0, "split": "test", "mse": 1.6,
+             "count": 8},
+        ]
+        (run / "metrics.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+        from fvta_memexqa_tpu.cli import cmd_report
+
+        assert cmd_report([str(run), "--json"]) == 0
+        s = json.loads(capsys.readouterr().out.strip())
+        assert s["best_val_mse"] == 1.5 and s["best_val_acc"] is None
+        assert cmd_report([str(run)]) == 0
+        out2 = capsys.readouterr().out
+        assert "best mse 1.5000" in out2 and "mse 1.6000" in out2
+
     def test_by_category_breakdown(self, packed_synth, trained):
         """--by-category: the paper-table split must aggregate back to the
         overall accuracy (data/categories.py)."""
