@@ -75,8 +75,14 @@ def _retry_transient(fn, what: str, retries: int = 2, backoff_s: float = 45.0):
             return fn()
         except Exception as e:
             msg = repr(e)
-            transient = ("remote_compile" in msg or "read body" in msg
-                         or "UNAVAILABLE" in msg)
+            # Narrow match (ADVICE r4): only the runtime-error types the
+            # tunnel actually raises, carrying its documented transport
+            # signatures — an unrelated error that merely mentions
+            # "unavailable" must fail fast, not retry-and-backoff.
+            is_rt = type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
+            transient = is_rt and ("remote_compile" in msg
+                                   or "response body closed" in msg
+                                   or "UNAVAILABLE" in msg)
             if attempt >= retries or not transient:
                 raise
             print(f"{what}: transient tunnel error ({msg[:120]}); "

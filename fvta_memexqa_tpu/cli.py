@@ -254,6 +254,13 @@ def cmd_test(argv):
 
         cfg = cfg.replace(model=_dc.replace(cfg.model, use_pallas=False))
     if args.ensemble:
+        # --data-parallel IS honored (test_ensemble builds the mesh from
+        # cfg.mesh); the cache/attention toggles have no ensemble equivalent —
+        # say so instead of silently evaluating something else (ADVICE r4).
+        if args.no_album_cache or args.dump_attention:
+            print("test --ensemble always evaluates through the album cache "
+                  "and has no attention dump; ignoring "
+                  "--no-album-cache/--dump-attention", file=sys.stderr)
         dirs = [args.rundir] + [d for d in args.ensemble.split(",") if d]
         m = test_ensemble(cfg, packed, dirs, load_best=not args.load_latest,
                           split=args.split,
@@ -969,8 +976,10 @@ def cmd_report(argv):
     best_val = (max(accs, key=lambda v: v["acc"]) if accs
                 else min(mses, key=lambda v: v["mse"]) if mses else None)
     summary = {
-        "steps": trains[-1]["step"] if trains else 0,
-        "final_train_loss": trains[-1]["loss"] if trains else None,
+        # .get throughout: a foreign/partial metrics.jsonl may lack any of
+        # these keys, and "tolerate foreign schemas" is this command's contract
+        "steps": trains[-1].get("step", 0) if trains else 0,
+        "final_train_loss": trains[-1].get("loss") if trains else None,
         "train_qa_pairs_per_sec": (trains[-1].get("qa_pairs_per_sec")
                                    if trains else None),
         "best_val_acc": best_val.get("acc") if best_val else None,
@@ -999,8 +1008,9 @@ def cmd_report(argv):
         except Exception:
             pass  # video run dirs carry a different config schema
     if trains:
-        print(f"train: {summary['steps']} steps, final loss "
-              f"{summary['final_train_loss']:.4f}"
+        loss = summary["final_train_loss"]
+        print(f"train: {summary['steps']} steps"
+              + (f", final loss {loss:.4f}" if loss is not None else "")
               + (f", {summary['train_qa_pairs_per_sec']:.0f} qa/s"
                  if summary["train_qa_pairs_per_sec"] else ""))
     if best_val:
@@ -1017,8 +1027,10 @@ def cmd_report(argv):
         print("by category: " + "  ".join(
             f"{k}={v:.4f}" for k, v in summary["by_category"].items()))
     for e in summary["ensembles"]:
-        print(f"ensemble: {e.get('split', '?')}: acc {e['acc']:.4f} "
-              f"(members {e.get('member_accs')})")
+        acc = e.get("acc")
+        print(f"ensemble: {e.get('split', '?')}: "
+              + (f"acc {acc:.4f} " if acc is not None else "acc ? ")
+              + f"(members {e.get('member_accs')})")
     return 0
 
 

@@ -464,8 +464,18 @@ class AlbumStore:
         # unsaved entries stays dirty for the next periodic save.
         for a, h, m in zip(ids, tree["h"], tree["m"]):
             # int8 entries restore as their {"q","s"} pytree; _quant_h passes
-            # an already-encoded dict through untouched
-            h = h if isinstance(h, dict) else jnp.asarray(h)
+            # an already-encoded dict through untouched, so a store configured
+            # for float32/bfloat16 must dequantize here or it would silently
+            # keep serving int8 rounding (and int8 byte accounting) against
+            # the requested --cache-dtype (ADVICE r4). int8→int8 stays as-is;
+            # the inverse mismatch (f32/bf16 array into an int8 store) is
+            # already handled by _put's re-encode.
+            if isinstance(h, dict):
+                h = jax.tree.map(jnp.asarray, h)
+                if self._cache_mode != "int8":
+                    h = _dequant_h(h)
+            else:
+                h = jnp.asarray(h)
             self._put(a, h, jnp.asarray(m.astype(bool)
                                         if hasattr(m, "astype") else m),
                       mark_dirty=False)

@@ -739,6 +739,8 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
     member is restored under its own saved config (so e.g. attention-variant
     ablation runs can ensemble), evaluated through the album cache, and
     reported individually alongside the ensemble accuracy.
+    cfg.mesh.num_devices > 1: each member evaluates DP-sharded over the mesh,
+    same as test() (`cli test --data-parallel N --ensemble ...`).
     """
     import os as _os
 
@@ -747,6 +749,7 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
     from fvta_memexqa_tpu.config import load_config
     from fvta_memexqa_tpu.eval_cache import predict_cached
 
+    mesh = make_mesh(cfg.mesh) if cfg.mesh.num_devices > 1 else None
     probs_sum, labels, qid0, members = None, None, None, []
     for d in out_dirs:
         cfg_path = _os.path.join(d, "config.json")
@@ -759,14 +762,17 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
                                               use_pallas=cfg.model.use_pallas))
         model = FVTAModel(cfg=mcfg)
         shared = SharedTables.from_packed(packed.shared)
+        if mesh is not None:
+            shared = jax.device_put(shared, replicated(mesh))
         ds = Dataset(packed, split)
         first = device_put_batch(
             next(iter(ds.get_batches(mcfg.train.eval_batch_size))))
         state = init_state(mcfg, model, shared, first)
-        state = jax.device_put(CheckpointManager(d, mcfg).restore(
-            state, best=load_best), jax.devices()[0])
+        state = jax.device_put(
+            CheckpointManager(d, mcfg).restore(state, best=load_best),
+            replicated(mesh) if mesh is not None else jax.devices()[0])
         pr = predict_cached(mcfg, model, state.params, shared, ds,
-                            mcfg.train.eval_batch_size)
+                            mcfg.train.eval_batch_size, mesh=mesh)
         if qid0 is None:
             qid0, labels = pr["qid"], pr["label"]
         members.append({"dir": d,

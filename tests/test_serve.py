@@ -253,6 +253,34 @@ class TestCacheDtypeInt8:
         h2, m2, _ = s3.get_stacked([aid])
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
 
+    def test_load_into_other_dtype_honors_store_mode(self, int8_store, served,
+                                                     small_config, tmp_path):
+        """A cache saved under int8 restored into a float32/bfloat16 store must
+        honor the STORE's --cache-dtype (dequantize on load), not silently keep
+        serving int8 rounding and int8 byte accounting (ADVICE r4)."""
+        model, params, shared, store, albums, feats = served
+        path = str(tmp_path / "int8cache_x")
+        assert int8_store.save(path)
+        for mode, np_dtype in (("float32", np.float32), ("bfloat16", None)):
+            s = AlbumStore(small_config, model, params, shared, store.vocab,
+                           cache_dtype=mode)
+            assert s.load(path) == int8_store.num_albums
+            aid = sorted(albums)[0]
+            entry_h = s._store[aid][0]
+            assert not isinstance(entry_h, dict), mode
+            if np_dtype is not None:
+                assert np.asarray(entry_h).dtype == np_dtype
+            # bytes now reflect the configured dtype, not the on-disk int8
+            assert s.cache_bytes > int8_store.cache_bytes
+            # values equal the dequantized int8 states (information already
+            # rounded at save time cannot come back — but the dtype must)
+            from fvta_memexqa_tpu.serve import _dequant_h
+
+            want = np.asarray(_dequant_h(int8_store._store[aid][0]))
+            got = np.asarray(jax.numpy.asarray(entry_h).astype(jax.numpy.float32))
+            np.testing.assert_allclose(got, want, atol=1e-2 if mode == "bfloat16"
+                                       else 0.0)
+
 
 class TestQAEngine:
     def test_answers_derivable_question(self, served):

@@ -108,6 +108,30 @@ class TestOverfit:
         out2 = capsys.readouterr().out
         assert "best mse 1.5000" in out2 and "mse 1.6000" in out2
 
+    def test_report_cli_foreign_partial_rows(self, tmp_path, capsys):
+        """report tolerates train rows without 'loss'/'step' and ensemble rows
+        without 'acc' — a foreign/partial metrics.jsonl must render, not
+        KeyError (ADVICE r4)."""
+        run = tmp_path / "frun"
+        run.mkdir()
+        rows = [
+            {"event": "train", "time": 0, "step": 5},          # no loss
+            {"event": "train", "time": 0},                     # no step either
+            {"event": "val", "time": 0, "step": 5, "acc": 0.5, "loss": 1.0},
+            {"event": "test_ensemble", "time": 0, "split": "test",
+             "count": 8},                                      # no acc
+        ]
+        (run / "metrics.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+        from fvta_memexqa_tpu.cli import cmd_report
+
+        assert cmd_report([str(run), "--json"]) == 0
+        s = json.loads(capsys.readouterr().out.strip())
+        assert s["final_train_loss"] is None and s["steps"] == 0
+        assert cmd_report([str(run)]) == 0  # human view renders without crash
+        out2 = capsys.readouterr().out
+        assert "train: 0 steps" in out2 and "ensemble" in out2
+
     def test_by_category_breakdown(self, packed_synth, trained):
         """--by-category: the paper-table split must aggregate back to the
         overall accuracy (data/categories.py)."""
@@ -136,6 +160,23 @@ class TestOverfit:
         assert sum(v["count"] for v in bc.values()) == ens["count"]
         overall = sum(v["acc"] * v["count"] for v in bc.values()) / ens["count"]
         np.testing.assert_allclose(overall, ens["acc"], rtol=1e-6)
+
+    def test_ensemble_honors_data_parallel(self, packed_synth, trained):
+        """test_ensemble with cfg.mesh.data_parallel>1 evaluates DP-sharded
+        and matches the single-device ensemble exactly (ADVICE r4: the flag
+        was silently ignored)."""
+        from fvta_memexqa_tpu.config import MeshConfig
+        from fvta_memexqa_tpu.train import test_ensemble
+
+        cfg, res, out = trained
+        single = test_ensemble(cfg, packed_synth, [out, out], load_best=True,
+                               split="train", echo=False)
+        dp_cfg = cfg.replace(mesh=MeshConfig(data_parallel=2))
+        dp = test_ensemble(dp_cfg, packed_synth, [out, out], load_best=True,
+                           split="train", echo=False)
+        assert dp["acc"] == single["acc"]
+        assert [m["acc"] for m in dp["members"]] == [m["acc"]
+                                                     for m in single["members"]]
 
     def test_attention_dump(self, packed_synth, trained, tmp_path, capsys):
         """test(attention_path=...) writes the qualitative-analysis tensors,
