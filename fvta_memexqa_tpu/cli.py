@@ -229,6 +229,10 @@ def cmd_test(argv):
     p.add_argument("--split", default="test")
     p.add_argument("--no-album-cache", action="store_true",
                    help="disable album-encoding dedup (reference-shaped eval)")
+    p.add_argument("--shard-cache", action="store_true",
+                   help="row-shard the album cache over the --data-parallel "
+                        "mesh (eval capacity scales with the mesh, like "
+                        "serve --shard-cache); identical metrics")
     p.add_argument("--dump-attention", default=None, metavar="PATH",
                    help="write per-question FVTA attention maps + predictions "
                         "to this .npz (qualitative-analysis tensors)")
@@ -265,7 +269,8 @@ def cmd_test(argv):
         m = test_ensemble(cfg, packed, dirs, load_best=not args.load_latest,
                           split=args.split,
                           metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
-                          by_category=args.by_category)
+                          by_category=args.by_category,
+                          shard_cache=args.shard_cache)
         out = {"split": args.split, "accuracy": m["acc"],
                "count": m["count"], "members": m["members"]}
         if args.by_category:
@@ -276,7 +281,7 @@ def cmd_test(argv):
              metrics_path=os.path.join(args.rundir, "metrics.jsonl"),
              album_cache=not args.no_album_cache,
              attention_path=args.dump_attention,
-             by_category=args.by_category)
+             by_category=args.by_category, shard_cache=args.shard_cache)
     out = {"split": args.split, "accuracy": m["acc"], "loss": m["loss"],
            "count": m["count"]}
     if args.by_category:

@@ -660,7 +660,7 @@ def dump_attention(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
          split: str = "test", metrics_path: str | None = None, echo: bool = True,
          album_cache: bool = True, attention_path: str | None = None,
-         by_category: bool = False) -> dict:
+         by_category: bool = False, shard_cache: bool = False) -> dict:
     """Reference main.py --is_test: restore (best) checkpoint, report accuracy.
 
     album_cache=True (default) dedupes context encoding across questions via
@@ -672,6 +672,9 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
     cfg.mesh.num_devices > 1: DP-shard the eval micro-batches over the mesh's
     "data" axis (params/tables/cache replicated) — multi-chip evaluation from
     the same `cli test --data-parallel N` surface train already has.
+    shard_cache: additionally row-shard the album cache over the mesh
+    (eval_cache.shard_album_cache) — full-corpus eval capacity scales with
+    the mesh like `serve --shard-cache`; identical metrics.
     """
     model = FVTAModel(cfg=cfg)
     shared = SharedTables.from_packed(packed.shared)
@@ -698,8 +701,12 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
             cache = precompute_album_cache(cfg, model, state.params, shared,
                                            vocab_table=vt, photo_table=pt)
         m = evaluate_cached(cfg, model, state.params, shared, ds,
-                            cfg.train.eval_batch_size, cache=cache, mesh=mesh)
+                            cfg.train.eval_batch_size, cache=cache, mesh=mesh,
+                            shard_cache=shard_cache)
     else:
+        if shard_cache:
+            raise ValueError("--shard-cache shards the album cache; it has "
+                             "no effect with --no-album-cache")
         eval_step = make_eval_step(cfg, model)
         vt, pt = make_eval_tables(model, state.params, shared)
         m = evaluate(eval_step, state.params, shared, ds, cfg.train.eval_batch_size,
@@ -714,7 +721,8 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
         from fvta_memexqa_tpu.eval_cache import predict_cached
 
         pr = predict_cached(cfg, model, state.params, shared, ds,
-                            cfg.train.eval_batch_size, cache=cache, mesh=mesh)
+                            cfg.train.eval_batch_size, cache=cache, mesh=mesh,
+                            shard_cache=shard_cache)
         bc = accuracy_by_category(question_categories(packed, split),
                                   pr["pred"] == pr["label"])
         m["by_category"] = bc
@@ -731,7 +739,7 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
 def test_ensemble(cfg: Config, packed, out_dirs: list[str],
                   load_best: bool = True, split: str = "test",
                   metrics_path: str | None = None, echo: bool = True,
-                  by_category: bool = False) -> dict:
+                  by_category: bool = False, shard_cache: bool = False) -> dict:
     """Checkpoint ensembling: average per-question choice probabilities across
     runs, argmax the mean. The reference main.py has no ensemble mode, but the
     papers' strongest reported MemexQA numbers are ensembles (SURVEY.md §6);
@@ -772,7 +780,8 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
             CheckpointManager(d, mcfg).restore(state, best=load_best),
             replicated(mesh) if mesh is not None else jax.devices()[0])
         pr = predict_cached(mcfg, model, state.params, shared, ds,
-                            mcfg.train.eval_batch_size, mesh=mesh)
+                            mcfg.train.eval_batch_size, mesh=mesh,
+                            shard_cache=shard_cache)
         if qid0 is None:
             qid0, labels = pr["qid"], pr["label"]
         members.append({"dir": d,

@@ -170,10 +170,18 @@ class TestDPEval:
                          echo=False, by_category=True)
         got_u = run_test(cfg8, packed_synth, out, load_best=True, split="train",
                          echo=False, album_cache=False)
-        for got in (got_c, got_u):
+        # --shard-cache: same surface with the album cache row-sharded over
+        # the mesh (round-5: eval capacity scales with the mesh)
+        got_s = run_test(cfg8, packed_synth, out, load_best=True, split="train",
+                         echo=False, by_category=True, shard_cache=True)
+        for got in (got_c, got_u, got_s):
             assert got["count"] == ref["count"]
             assert got["acc"] == pytest.approx(ref["acc"], abs=1e-6)
         assert got_c["by_category"] == ref["by_category"]
+        assert got_s["by_category"] == ref["by_category"]
+        with pytest.raises(ValueError, match="shard-cache"):
+            run_test(cfg8, packed_synth, out, load_best=True, split="train",
+                     echo=False, album_cache=False, shard_cache=True)
 
     def test_mesh_eval_with_frozen_tables_matches_single_device(
             self, packed_synth, small_config):
@@ -205,6 +213,72 @@ class TestDPEval:
         assert got["count"] == ref["count"]
         assert got["acc"] == pytest.approx(ref["acc"], abs=1e-6)
         assert got["loss"] == pytest.approx(ref["loss"], rel=1e-5)
+
+
+class TestShardedEvalCache:
+    """Row-sharded eval album cache (eval_cache.shard_album_cache): the
+    serve --shard-cache capacity story applied to split evaluation — each
+    device holds R/dp album rows, the shard_map gather reconstructs the
+    replicated gather bitwise (every row has exactly one owner), and the
+    collective moves only per-batch gathered states, never the cache."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, packed_synth, small_config):
+        from fvta_memexqa_tpu.data import Dataset, SharedTables
+        from fvta_memexqa_tpu.data.device_prepro import device_put_batch
+        from fvta_memexqa_tpu.eval_cache import precompute_album_cache
+        from fvta_memexqa_tpu.models import FVTAModel
+        from fvta_memexqa_tpu.train import init_state
+
+        cfg = small_config.replace(mesh=MeshConfig(data_parallel=8))
+        shared = SharedTables.from_packed(packed_synth.shared)
+        ds = Dataset(packed_synth, "train")
+        batch = device_put_batch(next(iter(ds.get_batches(8))))
+        model = FVTAModel(cfg=cfg)
+        state = init_state(cfg, model, shared, batch)
+        mesh = make_mesh(cfg.mesh)
+        shared_r = jax.device_put(shared, replicated(mesh))
+        params_r = jax.device_put(state.params, replicated(mesh))
+        cache = precompute_album_cache(cfg, model, params_r, shared_r)
+        return cfg, model, params_r, shared_r, ds, mesh, cache
+
+    def test_metrics_match_replicated(self, setup):
+        from fvta_memexqa_tpu.eval_cache import evaluate_cached
+
+        cfg, model, params, shared, ds, mesh, cache = setup
+        ref = evaluate_cached(cfg, model, params, shared, ds, 8, cache=cache,
+                              mesh=mesh)
+        got = evaluate_cached(cfg, model, params, shared, ds, 8, cache=cache,
+                              mesh=mesh, shard_cache=True)
+        assert got["count"] == ref["count"]
+        assert got["acc"] == ref["acc"]
+        assert got["loss"] == pytest.approx(ref["loss"], rel=1e-6)
+        per = got["cache_bytes_per_device"]
+        assert len(per) == 8 and all(b == per[0] > 0 for b in per)
+        # capacity story: per-device bytes ≈ full cache / 8 (+ row padding)
+        full = (cache[0].size * cache[0].dtype.itemsize
+                + cache[1].size * cache[1].dtype.itemsize)
+        assert sum(per) < 1.25 * full
+
+    def test_probs_bitwise_vs_replicated(self, setup):
+        from fvta_memexqa_tpu.eval_cache import predict_cached
+
+        cfg, model, params, shared, ds, mesh, cache = setup
+        ref = predict_cached(cfg, model, params, shared, ds, 8, cache=cache,
+                             mesh=mesh)
+        got = predict_cached(cfg, model, params, shared, ds, 8, cache=cache,
+                             mesh=mesh, shard_cache=True)
+        np.testing.assert_array_equal(got["probs"], ref["probs"])
+        np.testing.assert_array_equal(got["label"], ref["label"])
+
+    def test_requires_mesh_and_divisible_batch(self, setup):
+        from fvta_memexqa_tpu.eval_cache import _sharded_cache_setup
+
+        *_, mesh, cache = setup
+        with pytest.raises(ValueError, match="mesh"):
+            _sharded_cache_setup(None, cache, 8)
+        with pytest.raises(ValueError, match="divisible"):
+            _sharded_cache_setup(mesh, cache, 6)
 
 
 class TestCPAttention:
