@@ -95,7 +95,9 @@ def main():
     record_cpu = "--record-cpu-baseline" in sys.argv
     use_pallas = os.environ.get("FVTA_BENCH_PALLAS", "0").lower() in (
         "1", "true", "yes")
-    _arm_watchdog(float(os.environ.get("FVTA_BENCH_DEADLINE_S", "2700")))
+    # 3300s: round-4 measured 625s of first-contact alone, and the round-5
+    # train batch-frontier sweep adds ~8 measured cells on top
+    _arm_watchdog(float(os.environ.get("FVTA_BENCH_DEADLINE_S", "3300")))
     # Persistent XLA compile cache (round 4): the recorded bs=8 compile grew
     # 6.8s (r01) -> 513s (r03) paying cold jits every run; warm-cache compile
     # seconds per batch size are now part of the JSON artifact.
@@ -171,33 +173,67 @@ def main():
           f"(one-time album cache build {cache_s:.1f}s)", file=sys.stderr)
     _partial["cached_qa_pairs_per_sec"] = round(cached_qps, 2)
 
-    from fvta_memexqa_tpu.bench_lib import bench_train, realistic_config as _rc
+    from fvta_memexqa_tpu.bench_lib import (bench_train, bench_train_dedup,
+                                            realistic_config as _rc)
 
     # training ships the fused LSTM path on TPU (measured faster; BASELINE.md)
     train_pallas = platform == "tpu"
-    train_qps = _retry_transient(
-        lambda: bench_train(_rc(use_pallas=train_pallas), batch_size=64),
-        "bench_train")
-    print(f"training (fwd+bwd+adam, pallas={train_pallas}): "
-          f"{train_qps:.1f} qa/s @ bs=64", file=sys.stderr)
-    _partial["train_qa_pairs_per_sec"] = round(train_qps, 2)
-
-    # training with batch album dedup (--dedup-albums): same chain, context
-    # encode over the batch's unique albums + gather (train.py dedup step).
-    # Non-fatal on failure: a dedup-path regression must not sink the whole
-    # bench artifact (null field instead).
-    from fvta_memexqa_tpu.bench_lib import bench_train_dedup
-
-    try:
-        train_dd_qps, dd_uniq_frac = bench_train_dedup(
-            _rc(use_pallas=train_pallas), batch_size=64)
-        print(f"training+dedup: {train_dd_qps:.1f} qa/s @ bs=64 "
-              f"(unique slots {dd_uniq_frac*100:.0f}%)", file=sys.stderr)
-        _partial["train_dedup_qa_pairs_per_sec"] = round(train_dd_qps, 2)
-    except Exception as e:  # pragma: no cover - defensive
-        train_dd_qps, dd_uniq_frac = None, None
-        print(f"training+dedup bench FAILED (recording null): {e!r}",
+    # Batch-frontier sweep (round-5 verdict #2): every recorded train number
+    # was bs=64, but dedup's win grows with the duplicate fraction and the
+    # duplicate fraction grows with batch (630 albums vs bs*4 slots). Sweep
+    # bs ∈ {64,128,256} × {plain, dedup}; k scales inversely with bs to hold
+    # the slope signal ≈ constant above the tunnel noise floor. The bs=64
+    # cells remain the headline train_qa_pairs_per_sec fields.
+    sweep_ks = {64: (10, 60), 128: (5, 35), 256: (5, 20)}
+    train_sweep = {}
+    for tbs in (64, 128, 256):
+        ks, kl = sweep_ks[tbs]
+        qps = _retry_transient(
+            lambda tbs=tbs, ks=ks, kl=kl: bench_train(
+                _rc(use_pallas=train_pallas), batch_size=tbs,
+                k_small=ks, k_large=kl),
+            f"bench_train(bs={tbs})")
+        train_sweep[f"train_qa_pairs_per_sec_bs{tbs}"] = round(qps, 2)
+        # dedup cell: non-fatal on failure — a dedup-path regression must not
+        # sink the whole bench artifact (null field instead)
+        try:
+            dd, uf = bench_train_dedup(_rc(use_pallas=train_pallas),
+                                       batch_size=tbs, k_small=ks, k_large=kl)
+            train_sweep[f"train_dedup_qa_pairs_per_sec_bs{tbs}"] = round(dd, 2)
+            train_sweep[f"train_dedup_unique_frac_bs{tbs}"] = round(uf, 3)
+        except Exception as e:  # pragma: no cover - defensive
+            train_sweep[f"train_dedup_qa_pairs_per_sec_bs{tbs}"] = None
+            train_sweep[f"train_dedup_unique_frac_bs{tbs}"] = None
+            print(f"train dedup bs={tbs} FAILED (recording null): {e!r}",
+                  file=sys.stderr)
+        print(f"train bs={tbs}: plain "
+              f"{train_sweep[f'train_qa_pairs_per_sec_bs{tbs}']} qa/s, dedup "
+              f"{train_sweep[f'train_dedup_qa_pairs_per_sec_bs{tbs}']} qa/s "
+              f"(unique {train_sweep[f'train_dedup_unique_frac_bs{tbs}']})",
               file=sys.stderr)
+        _partial.update(train_sweep)
+    # grad-accum point at fixed global batch: 4x64 microbatches vs bs=256
+    # direct (per-example throughput; the accumulator lives in opt_state)
+    try:
+        import dataclasses as _dc
+
+        ga_cfg = _rc(use_pallas=train_pallas)
+        ga_cfg = ga_cfg.replace(train=_dc.replace(ga_cfg.train, grad_accum=4))
+        ga = _retry_transient(
+            lambda: bench_train(ga_cfg, batch_size=64), "bench_train(accum4)")
+        train_sweep["train_qa_pairs_per_sec_bs64_accum4"] = round(ga, 2)
+        print(f"train bs=64 x accum4 (global 256): {ga:.1f} qa/s",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover - defensive
+        train_sweep["train_qa_pairs_per_sec_bs64_accum4"] = None
+        print(f"train accum bench FAILED (recording null): {e!r}",
+              file=sys.stderr)
+    _partial.update(train_sweep)
+    train_qps = train_sweep["train_qa_pairs_per_sec_bs64"]
+    train_dd_qps = train_sweep["train_dedup_qa_pairs_per_sec_bs64"]
+    dd_uniq_frac = train_sweep["train_dedup_unique_frac_bs64"]
+    _partial["train_qa_pairs_per_sec"] = train_qps
+    _partial["train_dedup_qa_pairs_per_sec"] = train_dd_qps
 
     vs = None
     if os.path.exists(BASELINE_PATH):
@@ -289,6 +325,7 @@ def main():
                                          if train_dd_qps is not None else None),
         "train_dedup_unique_frac": (round(dd_uniq_frac, 3)
                                     if dd_uniq_frac is not None else None),
+        **train_sweep,
         "model_flops": fwd_cost["flops"],
         "train_flops": train_cost["flops"],
         "mfu": round(mfu, 4) if mfu is not None else None,
