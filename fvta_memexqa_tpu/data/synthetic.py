@@ -423,6 +423,186 @@ def make_focal_synthetic(
     return qas, albums, photo_feats, test_ids, glove, val_ids
 
 
+def make_evidence_only_synthetic(
+    num_albums: int = 24,
+    photos_per_album: int = 8,
+    num_questions: int = 120,
+    feat_dim: int = 64,
+    glove_dim: int = 100,
+    seed: int = 0,
+    test_fraction: float = 0.25,
+    decoy_repeats: int = 12,
+    noise_scale: float = 0.3,
+    return_meta: bool = False,
+):
+    """The EVIDENCE-ONLY corpus: planted photo evidence is the only signal
+    that lifts any question kind above its text ceiling, at every seed by
+    construction (round-4 verdict #1 — the focal investigation's own
+    prescription, promoted from future work to a generator).
+
+    Why make_focal_synthetic wasn't enough (BASELINE.md "Focal ablation"):
+    its where/year kinds are FULLY text-answerable and its focal kind's
+    wrong choices are mostly absent from the context, so across seeds the
+    trained ordering rode on how text-kind training interacted with the
+    focal kind — flat edged fvta on 2/3 seeds at chip scale, and the K>1
+    fix composed a select-the-album task that was beyond both variants.
+    Here every kind's full solution passes through the attended EVIDENCE
+    photo state, while text remains load-bearing (so neither variant can
+    suppress the decoy-saturated text wholesale):
+
+    - One photo per album is the EVIDENCE photo, tagged by a global MARKER
+      direction; the album's answer object, true city, and true year are
+      planted there as feature directions (object/city/year direction
+      vocabularies are shared across albums, so held-out albums require
+      decoding directions, not memorizing albums).
+    - focal kind (40%): "what did we photograph" — choices are the planted
+      object, the text decoy, and TWO other objects planted in OTHER photos
+      of the SAME album. All four choices are genuinely present in the
+      context: presence-decoding (mean-pool's trick) scores 25%, and the
+      "texted object is wrong" heuristic caps at 1/3. Only attending the
+      MARKED position answers.
+    - where/year kinds (20% each): the album text lists TWO candidates
+      ("oslo or cairo" / "2009 or 2013", order random per album), and the
+      remaining two choices are out-of-album. Text eliminates those two —
+      load-bearing — but caps at 50%; the true city/year direction lives
+      only in the evidence photo.
+    - album_say kind (20%): answered BY the decoy text (choices = the same
+      in-album objects), so the decoy channel must be read conditionally,
+      never suppressed — flat's joint softmax keeps paying the decoy-mass
+      tax the focal hierarchy is built to cap.
+
+    Text-only ceiling: 0.4/3 + 0.2 + 0.1 + 0.1 ≈ 0.53 total; evidence use
+    is the only route above it. Splits hold out whole albums (test AND
+    val), as in make_focal_synthetic. K=1 only: the multi-album regime's
+    select-the-album composition was measured beyond both variants
+    (BASELINE.md K=2/K=4 tables) and is a different question from the one
+    this corpus settles.
+    """
+    rng = np.random.default_rng(seed)
+    albums: dict[str, Album] = {}
+    photo_feats: dict[str, np.ndarray] = {}
+    evidence_meta: dict[str, dict] = {}
+    obj_dirs = {o: rng.normal(0, 1, feat_dim).astype(np.float32) for o in _OBJECTS}
+    city_dirs = {c: rng.normal(0, 1, feat_dim).astype(np.float32) for c in _CITIES}
+    year_dirs = {y: rng.normal(0, 1, feat_dim).astype(np.float32) for y in _YEARS}
+    marker_dir = rng.normal(0, 1, feat_dim).astype(np.float32)
+
+    album_meta = []
+    for i in range(num_albums):
+        name = _NAMES[i % len(_NAMES)]
+        month = _MONTHS[i % len(_MONTHS)]
+        # 4 distinct objects: planted answer, text decoy, 2 extra in-album
+        # plants (the focal kind's in-context wrong choices)
+        obj, decoy, obj2, obj3 = (
+            _OBJECTS[int(j)] for j in rng.choice(len(_OBJECTS), 4, replace=False))
+        city, city_alt = (_CITIES[int(j)]
+                          for j in rng.choice(len(_CITIES), 2, replace=False))
+        year, year_alt = (_YEARS[int(j)]
+                          for j in rng.choice(len(_YEARS), 2, replace=False))
+        evidence_pos = int(rng.integers(photos_per_album))
+        others = [p for p in range(photos_per_album) if p != evidence_pos]
+        pos2, pos3 = (others[int(j)]
+                      for j in rng.choice(len(others), 2, replace=False))
+        pids = [f"p{i}_{p}" for p in range(photos_per_album)]
+        for p, pid in enumerate(pids):
+            f = noise_scale * rng.normal(0, 1, feat_dim).astype(np.float32)
+            if p == evidence_pos:
+                f = (f + obj_dirs[obj] + marker_dir
+                     + city_dirs[city] + year_dirs[year])
+            elif p == pos2:
+                f = f + obj_dirs[obj2]
+            elif p == pos3:
+                f = f + obj_dirs[obj3]
+            photo_feats[pid] = (f / np.linalg.norm(f)).astype(np.float32)
+        # text lists BOTH candidates in a random order: no residue between
+        # word position and truth for any seed
+        w_pair = [city, city_alt] if rng.integers(2) else [city_alt, city]
+        y_pair = [year, year_alt] if rng.integers(2) else [year_alt, year]
+        aid = f"album{i}"
+        albums[aid] = Album(
+            album_id=aid,
+            title=f"the {name} trip",
+            description=" ".join(["we photograph the", decoy] * decoy_repeats),
+            where=f"{w_pair[0]} or {w_pair[1]}",
+            when=f"{month} {y_pair[0]} or {y_pair[1]}",
+            photo_ids=tuple(pids),
+            photo_titles=tuple(f"photograph of the {decoy}"
+                               for _ in range(photos_per_album)),
+            photo_gps=tuple((float(10 + i), float(20 + p))
+                            for p in range(photos_per_album)),
+        )
+        album_meta.append((aid, name, city, city_alt, year, year_alt,
+                           obj, decoy, obj2, obj3))
+        evidence_meta[aid] = {
+            "evidence_pos": evidence_pos, "object": obj, "decoy": decoy,
+            "obj2": obj2, "obj3": obj3, "city": city, "year": year,
+        }
+
+    qas: list[QAPair] = []
+    for qi in range(num_questions):
+        owner = qi % num_albums
+        (aid, name, city, city_alt, year, year_alt,
+         obj, decoy, obj2, obj3) = album_meta[owner]
+        r = np.random.default_rng(seed * 7919 + qi)
+        kind = focal_kind(qi, num_albums)  # same layout as the focal corpus
+        if kind <= 1:
+            question = f"what did we photograph on the {name} trip ?"
+            answer, choices = obj, [obj, decoy, obj2, obj3]
+        elif kind == 2:
+            question = f"what did the album say we photograph on the {name} trip ?"
+            answer, choices = decoy, [decoy, obj, obj2, obj3]
+        elif kind == 3:
+            question = f"where did we go on the {name} trip ?"
+            out = [c for c in _CITIES if c not in (city, city_alt)]
+            picks = r.choice(len(out), size=2, replace=False)
+            answer = city
+            choices = [city, city_alt] + [out[int(j)] for j in picks]
+        else:
+            question = f"what year was the {name} trip ?"
+            out = [y for y in _YEARS if y not in (year, year_alt)]
+            picks = r.choice(len(out), size=2, replace=False)
+            answer = year
+            choices = [year, year_alt] + [out[int(j)] for j in picks]
+        order = r.permutation(4)
+        qas.append(QAPair(
+            question_id=f"q{qi}",
+            question=question,
+            answer=answer,
+            choices=tuple(choices[int(j)] for j in order),
+            album_ids=(aid,),
+            flickr_user_id="synthuser",
+        ))
+
+    # whole-album holdout for test AND val (keep-best must track unseen-album
+    # generalization — same rationale as make_focal_synthetic)
+    n_test_albums = max(1, int(round(num_albums * test_fraction)))
+    n_val_albums = max(1, int(round(num_albums * 0.125)))
+    test_albums = {f"album{i}" for i in
+                   range(num_albums - n_test_albums, num_albums)}
+    val_albums = {f"album{i}" for i in
+                  range(num_albums - n_test_albums - n_val_albums,
+                        num_albums - n_test_albums)}
+    test_ids = {q.question_id for q in qas if q.album_ids[0] in test_albums}
+    val_ids = {q.question_id for q in qas if q.album_ids[0] in val_albums}
+
+    all_words = sorted(
+        {w for a in albums.values()
+         for w in (a.title + " " + a.description).split()}
+        | set(_CITIES) | set(_YEARS) | set(_MONTHS) | set(_OBJECTS) | set(_NAMES)
+        | {"where", "did", "we", "go", "on", "the", "trip", "what", "year",
+           "was", "photograph", "of", "a", "or", "say", "album"}
+    )
+    grng = np.random.default_rng(seed + 1)
+    glove = {
+        w: grng.normal(0, 0.5, glove_dim).astype(np.float32)
+        for i, w in enumerate(all_words)
+        if i % 10 < 7
+    }
+    if return_meta:
+        return qas, albums, photo_feats, test_ids, glove, val_ids, evidence_meta
+    return qas, albums, photo_feats, test_ids, glove, val_ids
+
+
 def write_raw_files(outdir, qas, albums, photo_feats, test_ids, glove,
                     val_ids=None):
     """Serialize to the raw on-disk format of the dataset release, so the synthetic

@@ -58,7 +58,15 @@ def main():
                    help="evidence-SNR knob (generator default 0.3; lower = "
                         "stronger planted signal)")
     p.add_argument("--decoy-repeats", type=int, default=12)
+    p.add_argument("--corpus", default="focal", choices=["focal", "evidence"],
+                   help="focal = make_focal_synthetic (round-3/4 tables); "
+                        "evidence = make_evidence_only_synthetic, the round-5 "
+                        "evidence-is-the-ONLY-signal corpus (K=1 only)")
     args = p.parse_args()
+    if args.corpus == "evidence" and args.albums_per_question != 1:
+        raise SystemExit("--corpus evidence is K=1 by design (the K>1 "
+                         "composition was measured beyond both variants; "
+                         "BASELINE.md)")
 
     if os.environ.get("FVTA_PLATFORM"):
         import jax
@@ -73,14 +81,24 @@ def main():
                                          TrainConfig)
     from fvta_memexqa_tpu.data import load_pack, pack
     from fvta_memexqa_tpu.data.synthetic import (focal_kind,
+                                                 make_evidence_only_synthetic,
                                                  make_focal_synthetic)
     from fvta_memexqa_tpu.train import test as run_test, train as run_train
 
-    qas, albums, feats, test_ids, glove, val_ids, meta = make_focal_synthetic(
-        num_albums=args.num_albums, photos_per_album=args.photos_per_album,
-        num_questions=args.num_questions, seed=args.seed,
-        decoy_repeats=args.decoy_repeats, noise_scale=args.noise_scale,
-        albums_per_question=args.albums_per_question, return_meta=True)
+    if args.corpus == "evidence":
+        qas, albums, feats, test_ids, glove, val_ids, meta = \
+            make_evidence_only_synthetic(
+                num_albums=args.num_albums,
+                photos_per_album=args.photos_per_album,
+                num_questions=args.num_questions, seed=args.seed,
+                decoy_repeats=args.decoy_repeats,
+                noise_scale=args.noise_scale, return_meta=True)
+    else:
+        qas, albums, feats, test_ids, glove, val_ids, meta = make_focal_synthetic(
+            num_albums=args.num_albums, photos_per_album=args.photos_per_album,
+            num_questions=args.num_questions, seed=args.seed,
+            decoy_repeats=args.decoy_repeats, noise_scale=args.noise_scale,
+            albums_per_question=args.albums_per_question, return_meta=True)
     packdir = os.path.join(args.outdir, "pack")
     cfg_d = DataConfig(max_albums=args.albums_per_question,
                        max_photos=args.photos_per_album, max_question_len=12,
@@ -147,10 +165,18 @@ def main():
                 entry[f"{KIND_NAMES[k]}_acc"] = float(
                     correct[kinds == k].mean()) if (kinds == k).any() else None
             entry["focal_acc"] = float(correct[sel].mean())
+            if args.corpus == "evidence":
+                # where/year also route through the marked evidence photo —
+                # report their localization rates too
+                for k in (3, 4):
+                    ksel = kinds == k
+                    entry[f"{KIND_NAMES[k]}_loc"] = float(
+                        (t_arg[ksel] == ev[ksel]).mean()) if ksel.any() else None
             results[f"{variant}_ep{ep}"] = entry
             print(f"[focal-ablate] {variant} ep{ep}: {json.dumps(entry)}",
                   file=sys.stderr, flush=True)
     print(json.dumps({
+        "corpus": args.corpus,
         "num_albums": args.num_albums, "num_questions": args.num_questions,
         "noise_scale": args.noise_scale, "decoy_repeats": args.decoy_repeats,
         "albums_per_question": args.albums_per_question,
