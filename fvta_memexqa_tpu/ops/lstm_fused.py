@@ -46,9 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 from fvta_memexqa_tpu.ops.lstm_ref import LSTMParams, _flip_to_front
 from fvta_memexqa_tpu.ops.lstm_pallas import _on_tpu, _pad_gates, _round_up
 
-# VMEM budget (bytes) for the per-cell blocked operands (the pipeline holds ~2x
-# each) + the per-segment state scratch; ~16MB/core total.
-_VMEM_BUDGET = 10_000_000
+# Scoped-VMEM budget (model bytes) for ONE kernel launch: double-buffered
+# per-cell blocks + per-segment (h, c) state scratch + constant windows.
+# The hardware scoped-vmem limit is 16 MB/core, but (a) the compiler's
+# accounting runs ~10-15% above this simple model (semaphores, alignment —
+# measured: a launch this model priced at 15.7 MB was billed 17.4 MB), and
+# (b) the launch shares the scoped stack with whatever XLA overlaps around
+# it inside a large program (async copies feeding the operands). A 12.5 MB
+# model target keeps the billed figure ~14 MB with headroom for both — the
+# round-5 full-driver dedup train step OOM'd at the old 10 MB-blocks +
+# 4.5 MB-state split, which priced blocks and state separately, ignored the
+# f32 lane padding of narrow windows (d=200 -> 256 lanes), and did not count
+# the constant (Wx/Wh/b) windows at all.
+_SCOPED_BUDGET = 12_500_000
 _MAX_SEG_ROWS = 4096     # cap on rows of (h, c) state scratch per segment
 
 
@@ -162,22 +172,48 @@ def _bwd_step_kernel(x_ref, len_ref, wx_ref, wh_ref, b_ref, wht_ref,
     dc_scr[rows] = dnc_total * f_s + (1.0 - m) * dc_in
 
 
-def _tiling(n: int, blocked_w: int, hp: int) -> tuple[int, int, int, int]:
+def _tiling(n: int, widths: list[int], hp: int,
+            const_bytes: int) -> tuple[int, int, int, int]:
     """(bb, nb, nseg, n_pad): batch tile, tiles/segment, segments, padded rows.
 
-    blocked_w = combined f32 feature width of per-cell blocked operands (the
-    pipeline holds ~2 buffers of each); state scratch adds 2*hp per segment row.
+    widths = per-row f32 window widths of every blocked operand AND output
+    (each padded here to the 128-lane tile, so a d=200 x block is priced at
+    its physical 256 lanes); the pipeline holds ~2 buffers of each. The
+    (h, c) state scratch adds 2*hp f32 per segment row, and const_bytes is
+    the one-copy size of the constant (weight) windows, double-buffered.
+
+    Two objectives, in order: (1) fit _SCOPED_BUDGET — blocks, state, and
+    constants priced together, not from separate pools; (2) among fitting
+    tile sizes, MINIMIZE phantom rows. n_pad = nseg*nb*bb rounds n up, and
+    the old budget-only bb choice could pad brutally (measured: the bs=64
+    photo-title backward ran 3,360 padded rows for 2,688 real ones, +25%
+    phantom scan work). A descending search over bb candidates with nb
+    rebalanced per segment count finds the largest tile that both fits and
+    wastes the least.
     """
-    bb = max(8, min(1024, _VMEM_BUDGET // (8 * blocked_w) // 8 * 8))
-    bb = min(bb, _round_up(n, 8))
-    # The (h, c) state scratch is seg_rows x 2*hp f32 and lives for the whole
-    # segment ON TOP of the double-buffered blocks — cap segment rows by its
-    # own budget or wide-hidden configs (hp > 128) overflow VMEM. 4.5 MB keeps
-    # the flagship (hp=128) tiling at the full _MAX_SEG_ROWS unchanged.
-    state_cap = max(bb, 4_500_000 // (8 * hp) // 8 * 8)
-    seg_rows = min(_MAX_SEG_ROWS, state_cap, _round_up(n, bb))
-    nb = max(1, seg_rows // bb)
-    nseg = -(-_round_up(n, bb) // (nb * bb))
+    budget = _SCOPED_BUDGET - 2 * const_bytes
+    wsum = sum(_round_up(w, 128) for w in widths)
+    # largest bb leaving >= 1/3 of the budget for state scratch
+    bb_max = max(8, min(1024, budget * 2 // 3 // (8 * wsum) // 8 * 8))
+    bb_max = min(bb_max, _round_up(n, 8))
+    best = None
+    bb = bb_max
+    while bb >= max(8, bb_max - 256):
+        state_budget = budget - 8 * wsum * bb
+        rows_cap = min(_MAX_SEG_ROWS,
+                       max(bb, state_budget // (8 * hp) // 8 * 8))
+        nb_cap = max(1, rows_cap // bb)
+        n_tiles = -(-_round_up(n, 8) // bb)
+        nseg = -(-n_tiles // nb_cap)
+        nb = -(-n_tiles // nseg)          # rebalance: don't pad to full segments
+        phantom = nseg * nb * bb - n
+        cand = (phantom, -bb, bb, nb, nseg)
+        if best is None or cand < best:
+            best = cand
+        if phantom < 8:                   # cannot beat sub-tile padding
+            break
+        bb -= 8
+    _, _, bb, nb, nseg = best
     return bb, nb, nseg, nseg * nb * bb
 
 
@@ -187,7 +223,10 @@ def _fused_scan(x_t, lens3, wx, wh, b, forget_bias, emit_out, emit_cell, interpr
     g, t, n, d = x_t.shape
     hp = wh.shape[1]
     g4 = wh.shape[2]
-    bb, nb, nseg, n_pad = _tiling(n, d + hp * (1 + emit_out + emit_cell), hp)
+    # blocked windows: x, lengths, [out,] fin, [cell]; consts: wx, wh, b
+    widths = [d, 1, hp] + [hp] * (emit_out + emit_cell)
+    const_bytes = 4 * (d * g4 + hp * g4 + 8 * g4)
+    bb, nb, nseg, n_pad = _tiling(n, widths, hp, const_bytes)
     if n_pad != n:
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
         lens3 = jnp.pad(lens3, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -240,7 +279,12 @@ def _fused_scan_bwd(x_t, lens3, wx, wh, b, hall, cell, gout, gfin,
     g, t, n, d = x_t.shape
     hp = wh.shape[1]
     g4 = wh.shape[2]
-    bb, nb, nseg, n_pad = _tiling(n, d + 5 * hp + g4 + hp, hp)
+    # blocked windows: x, lengths, h_{t-1}, c_t, c_{t-1}, g_out, g_fin,
+    # dgates (out); consts: wx, wh, b, wht — this launch is the scoped-VMEM
+    # heavyweight (the round-5 OOM was here: see _SCOPED_BUDGET)
+    widths = [d, 1, hp, hp, hp, hp, hp, g4]
+    const_bytes = 4 * (d * g4 + hp * g4 + 8 * g4 + g4 * hp)
+    bb, nb, nseg, n_pad = _tiling(n, widths, hp, const_bytes)
     if n_pad != n:
         pad4 = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
         x_t = jnp.pad(x_t, pad4)

@@ -55,7 +55,15 @@ def main():
     print(f"first contact: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     cfg = realistic_config(use_pallas=False)
+    # default cells = the round-5 bs=256-wall sweep; pass e.g.
+    # --cells 128:1,128:2,64:2 to probe other (batch, n_chunks) points
     cells = [(128, 1), (256, 1), (256, 2), (256, 4), (512, 4)]
+    for a in sys.argv[1:]:
+        if a.startswith("--cells"):
+            spec = a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1]
+            cells = [tuple(int(x) for x in c.split(":")) for c in
+                     spec.split(",")]
     out = {"platform": jax.devices()[0].platform}
     prebuilt = None
     for bs, nc in cells:
