@@ -60,35 +60,13 @@ def _emit_fallback(deadline_s: float):
 
 
 def _retry_transient(fn, what: str, retries: int = 2, backoff_s: float = 45.0):
-    """Retry a bench section through transient axon-tunnel failures.
+    """Delegates to bench_lib.retry_transient (the ONE transient-tunnel retry
+    definition, shared with the probe scripts). Imported lazily: bench_lib
+    imports jax at module scope, and this file must not touch jax before the
+    watchdog is armed / the --record-cpu-baseline platform pin runs."""
+    from fvta_memexqa_tpu.bench_lib import retry_transient
 
-    The tunnel's remote_compile occasionally drops its response mid-read
-    (JaxRuntimeError "INTERNAL: ... remote_compile: read body: response body
-    closed before all bytes were read" — observed killing an otherwise-healthy
-    round-4 bench run). That is a transport flake, not a program bug: the same
-    compile succeeds once the tunnel recovers. Only errors matching the
-    transient signature are retried; real failures re-raise immediately."""
-    import time as _t
-
-    for attempt in range(retries + 1):
-        try:
-            return fn()
-        except Exception as e:
-            msg = repr(e)
-            # Narrow match (ADVICE r4): only the runtime-error types the
-            # tunnel actually raises, carrying its documented transport
-            # signatures — an unrelated error that merely mentions
-            # "unavailable" must fail fast, not retry-and-backoff.
-            is_rt = type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
-            transient = is_rt and ("remote_compile" in msg
-                                   or "response body closed" in msg
-                                   or "UNAVAILABLE" in msg)
-            if attempt >= retries or not transient:
-                raise
-            print(f"{what}: transient tunnel error ({msg[:120]}); "
-                  f"retry {attempt + 1}/{retries} after {backoff_s:.0f}s",
-                  file=sys.stderr)
-            _t.sleep(backoff_s)
+    return retry_transient(fn, what, retries=retries, backoff_s=backoff_s)
 
 
 def main():
@@ -188,12 +166,20 @@ def main():
     train_sweep = {}
     for tbs in (64, 128, 256):
         ks, kl = sweep_ks[tbs]
-        qps = _retry_transient(
-            lambda tbs=tbs, ks=ks, kl=kl: bench_train(
-                _rc(use_pallas=train_pallas), batch_size=tbs,
-                k_small=ks, k_large=kl),
-            f"bench_train(bs={tbs})")
-        train_sweep[f"train_qa_pairs_per_sec_bs{tbs}"] = round(qps, 2)
+        # every sweep cell is non-fatal: a single frontier-cell failure
+        # (e.g. an OOM at the bs=256 edge) must null THAT field, not sink
+        # the whole artifact's already-measured headline sections
+        try:
+            qps = _retry_transient(
+                lambda tbs=tbs, ks=ks, kl=kl: bench_train(
+                    _rc(use_pallas=train_pallas), batch_size=tbs,
+                    k_small=ks, k_large=kl),
+                f"bench_train(bs={tbs})")
+            train_sweep[f"train_qa_pairs_per_sec_bs{tbs}"] = round(qps, 2)
+        except Exception as e:  # pragma: no cover - defensive
+            train_sweep[f"train_qa_pairs_per_sec_bs{tbs}"] = None
+            print(f"train bs={tbs} FAILED (recording null): {e!r}",
+                  file=sys.stderr)
         # dedup cell: non-fatal on failure — a dedup-path regression must not
         # sink the whole bench artifact (null field instead)
         try:
@@ -244,7 +230,7 @@ def main():
     # ---- FLOP / MFU accounting (see bench_lib.step_cost; BASELINE.md) --------
     from fvta_memexqa_tpu.bench_lib import device_peaks, step_cost
 
-    mfu = train_mfu = hbm_util = None
+    mfu = train_mfu = hbm_util = None  # train_qps may be None (nulled cell)
     # FLOPs are ALWAYS costed on the XLA (non-Pallas) program: custom-call
     # kernels contribute 0 FLOPs to XLA's cost model, which would silently
     # understate model_flops/MFU several-fold under FVTA_BENCH_PALLAS=1.
@@ -255,9 +241,10 @@ def main():
     if peaks is not None:
         peak_flops, peak_hbm = peaks
         fwd_step_s = best.batch_size / best.qa_pairs_per_sec
-        train_step_s = 64 / train_qps
         mfu = fwd_cost["flops"] / (fwd_step_s * peak_flops)
-        train_mfu = train_cost["flops"] / (train_step_s * peak_flops)
+        if train_qps:
+            train_step_s = 64 / train_qps
+            train_mfu = train_cost["flops"] / (train_step_s * peak_flops)
         # NB: XLA's "bytes accessed" counts HLO buffer accesses, an UPPER BOUND
         # on physical HBM traffic (fused intermediates stay in VMEM), so this
         # ratio can exceed 1. See BASELINE.md "MFU accounting".
@@ -265,7 +252,8 @@ def main():
         print(f"fwd bs={best.batch_size}: {fwd_cost['flops']/1e9:.2f} GFLOP/step, "
               f"{fwd_cost['bytes']/1e6:.1f} MB/step -> MFU {mfu*100:.1f}%, "
               f"HBM(upper) {hbm_util*100:.1f}% | train bs=64: "
-              f"{train_cost['flops']/1e9:.2f} GFLOP/step -> MFU {train_mfu*100:.1f}%",
+              f"{train_cost['flops']/1e9:.2f} GFLOP/step -> MFU "
+              + (f"{train_mfu*100:.1f}%" if train_mfu is not None else "n/a"),
               file=sys.stderr)
 
     # ---- long-T video path (BASELINE config 4): XLA vs fused kernel ----------
@@ -320,7 +308,8 @@ def main():
         "p50_latency_ms_b8": round(b8.p50_latency_ms, 3),
         "cached_qa_pairs_per_sec": round(cached_qps, 2),
         "cached_batch_size": cached_bs,
-        "train_qa_pairs_per_sec": round(train_qps, 2),
+        "train_qa_pairs_per_sec": (round(train_qps, 2)
+                                   if train_qps is not None else None),
         "train_dedup_qa_pairs_per_sec": (round(train_dd_qps, 2)
                                          if train_dd_qps is not None else None),
         "train_dedup_unique_frac": (round(dd_uniq_frac, 3)

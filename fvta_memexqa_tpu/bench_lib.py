@@ -138,6 +138,36 @@ def _median_slope(run, k_small: int, k_large: int, reps: int) -> float:
     return sorted(slopes)[len(slopes) // 2]
 
 
+def retry_transient(fn, what: str, retries: int = 2, backoff_s: float = 45.0):
+    """Retry a bench section through transient axon-tunnel failures.
+
+    The tunnel's remote_compile occasionally drops its response mid-read
+    (JaxRuntimeError "INTERNAL: ... remote_compile: read body: response body
+    closed before all bytes were read" — observed killing an otherwise-healthy
+    round-4 bench run). That is a transport flake, not a program bug: the
+    same compile succeeds once the tunnel recovers. Only errors matching the
+    transient signature are retried — the runtime-error types the tunnel
+    actually raises, carrying its documented transport strings; anything else
+    re-raises immediately (ADVICE r4: an unrelated error merely mentioning
+    "unavailable" must fail fast). ONE definition, shared by bench.py and the
+    probe scripts, so the signature can never silently diverge."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:
+            msg = repr(e)
+            is_rt = type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
+            transient = is_rt and ("remote_compile" in msg
+                                   or "response body closed" in msg
+                                   or "UNAVAILABLE" in msg)
+            if attempt >= retries or not transient:
+                raise
+            print(f"{what}: transient tunnel error ({msg[:120]}); "
+                  f"retry {attempt + 1}/{retries} after {backoff_s:.0f}s",
+                  file=sys.stderr)
+            time.sleep(backoff_s)
+
+
 # ---------------------------------------------------------------------------
 # FLOP / MFU accounting (round-1 verdict: perf numbers need denominators).
 # FLOPs and HBM bytes come from XLA's own cost model on the COMPILED module

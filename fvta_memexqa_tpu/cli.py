@@ -970,7 +970,7 @@ def cmd_report(argv):
         return 1
     with open(path) as f:
         events = [json.loads(line) for line in f if line.strip()]
-    by = lambda ev: [e for e in events if e["event"] == ev]  # noqa: E731
+    by = lambda ev: [e for e in events if e.get("event") == ev]  # noqa: E731
     trains, vals, tests = by("train"), by("val"), by("test")
     bycat, ens = by("test_by_category"), by("test_ensemble")
     strip = lambda e, drop=("event", "time"): {  # noqa: E731
@@ -989,7 +989,7 @@ def cmd_report(argv):
                                    if trains else None),
         "best_val_acc": best_val.get("acc") if best_val else None,
         "best_val_mse": best_val.get("mse") if best_val else None,
-        "best_val_step": best_val["step"] if best_val else None,
+        "best_val_step": best_val.get("step") if best_val else None,
         "val_evals": len(vals),
         "tests": [strip(t) for t in tests],
         "by_category": strip(bycat[-1], ("event", "time", "split"))
@@ -1022,7 +1022,8 @@ def cmd_report(argv):
         metric = ("best acc " + format(best_val["acc"], ".4f")
                   if "acc" in best_val
                   else "best mse " + format(best_val["mse"], ".4f"))
-        print(f"val:   {metric} @ step {best_val['step']} ({len(vals)} evals)")
+        print(f"val:   {metric} @ step {best_val.get('step', '?')} "
+              f"({len(vals)} evals)")
     for t in summary["tests"]:
         score = (f"acc {t['acc']:.4f}" if "acc" in t
                  else f"mse {t['mse']:.4f}" if "mse" in t else "?")

@@ -130,8 +130,17 @@ def focal_kind(qi: int, num_albums: int) -> int:
     from the album cycle (see the in-generator comment). ONE definition,
     shared with the per-kind accuracy analysis in tests/test_slow_regression —
     the gate once mislabeled kinds by using bare qi %% 5 after the offset was
-    introduced."""
-    return (qi + qi // num_albums) % 5
+    introduced.
+
+    The per-sweep stride must keep (num_albums + stride) coprime to 5, or the
+    offset cancels and kind locks to album identity (num_albums ≡ 4 mod 5,
+    e.g. the library default 24: kind == owner %% 5 for every sweep, so an
+    album's questions all share one kind and the planted evidence/decoy
+    structure silently degenerates). stride=1 — the original formula — for
+    every other size (all measured corpora: 8/16/32/96/240 are unchanged);
+    stride=2 only where 1 would cancel."""
+    stride = 1 if (num_albums + 1) % 5 else 2
+    return (qi + (qi // num_albums) * stride) % 5
 
 
 def make_focal_synthetic(

@@ -230,7 +230,7 @@ def _sharded_cache_setup(mesh, cache, batch_size: int):
 
 def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
                    dataset, batch_size: int, cache=None, mesh=None,
-                   shard_cache: bool = False) -> dict:
+                   shard_cache: bool = False, sharded=None) -> dict:
     """Per-question choice probabilities through the album cache, in dataset
     order: {"qid" [N], "probs" [N,4], "pred" [N], "label" [N]}.
 
@@ -238,17 +238,24 @@ def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
     give — feeds per-category reporting (data/categories.py) and checkpoint
     ensembling (train.test_ensemble). cache=None builds the album cache.
     shard_cache: row-shard the cache over the mesh (shard_album_cache) so
-    eval capacity scales with the mesh; bitwise-identical probabilities."""
+    eval capacity scales with the mesh; bitwise-identical probabilities.
+    sharded: a (cache_h, cache_m, gather) triple from a prior
+    _sharded_cache_setup — lets callers (train.test with --by-category)
+    shard + device_put the full cache ONCE instead of repeating the
+    placement on the exact capacity-limited path this feature targets."""
     from fvta_memexqa_tpu.train import canonical_model, make_eval_tables
 
     vt, pt = make_eval_tables(model, params, shared)
-    if cache is None:
+    if cache is None and sharded is None:
         cache = precompute_album_cache(cfg, model, params, shared,
                                        vocab_table=vt, photo_table=pt)
-    cache_h, cache_m = cache
+    if cache is not None:
+        cache_h, cache_m = cache
     gather = None
     if shard_cache:
-        cache_h, cache_m, gather = _sharded_cache_setup(mesh, cache, batch_size)
+        if sharded is None:
+            sharded = _sharded_cache_setup(mesh, cache, batch_size)
+        cache_h, cache_m, gather = sharded
         pstep = functools.partial(_pregathered_probs_jit, canonical_model(model))
     xfer = _batch_transfer(mesh)
     step = functools.partial(_cached_probs_jit, canonical_model(model))
@@ -272,30 +279,33 @@ def predict_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
 
 def evaluate_cached(cfg: Config, model: FVTAModel, params, shared: SharedTables,
                     dataset, batch_size: int, cache=None, mesh=None,
-                    shard_cache: bool = False) -> dict:
+                    shard_cache: bool = False, sharded=None) -> dict:
     """Full-split evaluation through the album cache. Returns reference-compatible
     {"acc", "loss", "count"} plus cache timing. mesh: DP-shard the query
     micro-batches over the mesh's "data" axis (cache/params replicated).
     shard_cache: additionally row-shard the album cache over the mesh
     (shard_album_cache) — per-device cache memory drops to R/dp rows, so
     full-corpus eval capacity scales with the mesh like `serve --shard-cache`
-    does; identical metrics, with "cache_bytes_per_device" reported."""
+    does; identical metrics, with "cache_bytes_per_device" reported.
+    sharded: prebuilt (cache_h, cache_m, gather) from _sharded_cache_setup
+    (see predict_cached) — skips re-sharding an already-placed cache."""
     import time
 
     from fvta_memexqa_tpu.train import canonical_model, make_eval_tables
 
     t0 = time.perf_counter()
     vt, pt = make_eval_tables(model, params, shared)  # once per checkpoint
-    if cache is None:
+    if cache is None and sharded is None:
         cache_h, cache_m = precompute_album_cache(cfg, model, params, shared,
                                                   vocab_table=vt, photo_table=pt)
-    else:
+    elif cache is not None:
         cache_h, cache_m = cache
     per_dev = None
     gather = None
     if shard_cache:
-        cache_h, cache_m, gather = _sharded_cache_setup(
-            mesh, (cache_h, cache_m), batch_size)
+        if sharded is None:
+            sharded = _sharded_cache_setup(mesh, (cache_h, cache_m), batch_size)
+        cache_h, cache_m, gather = sharded
         per_dev = sharded_cache_bytes_per_device(mesh, (cache_h, cache_m))
         pstep = functools.partial(_pregathered_eval_step_jit,
                                   canonical_model(model))

@@ -193,6 +193,20 @@ def _tiling(n: int, widths: list[int], hp: int,
     """
     budget = _SCOPED_BUDGET - 2 * const_bytes
     wsum = sum(_round_up(w, 128) for w in widths)
+    # At wide hidden/input dims the doubled constant (weight) windows alone
+    # can exceed the budget, driving it negative; the search below would then
+    # silently return a bb=8 launch whose constants cannot fit — a
+    # compile-time scoped-VMEM OOM with no error from the sizing logic.
+    # Refuse with an actionable message instead (the XLA scan path
+    # (ops.lstm_ref, use_pallas=False) has no such limit).
+    min_need = 8 * wsum * 8 + 8 * hp * 8  # bb=8 blocks + one 8-row state seg
+    if budget < min_need:
+        raise ValueError(
+            f"fused LSTM tiling cannot fit scoped VMEM: constant windows "
+            f"need {2 * const_bytes} B doubled + {min_need} B minimum "
+            f"blocks/state of the {_SCOPED_BUDGET} B budget (hp={hp}, "
+            f"widths={widths}). This hidden/input width is beyond the fused "
+            f"kernel; use the XLA scan path (use_pallas=False).")
     # largest bb leaving >= 1/3 of the budget for state scratch
     bb_max = max(8, min(1024, budget * 2 // 3 // (8 * wsum) // 8 * 8))
     bb_max = min(bb_max, _round_up(n, 8))

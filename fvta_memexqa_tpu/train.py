@@ -696,13 +696,19 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
         from fvta_memexqa_tpu.eval_cache import (evaluate_cached,
                                                  precompute_album_cache)
 
+        sharded = None
         if by_category:  # build once, share with the per-question pass below
             vt, pt = make_eval_tables(model, state.params, shared)
             cache = precompute_album_cache(cfg, model, state.params, shared,
                                            vocab_table=vt, photo_table=pt)
+            if shard_cache:  # shard + place once too, for the same reason
+                from fvta_memexqa_tpu.eval_cache import _sharded_cache_setup
+
+                sharded = _sharded_cache_setup(mesh, cache,
+                                               cfg.train.eval_batch_size)
         m = evaluate_cached(cfg, model, state.params, shared, ds,
                             cfg.train.eval_batch_size, cache=cache, mesh=mesh,
-                            shard_cache=shard_cache)
+                            shard_cache=shard_cache, sharded=sharded)
     else:
         if shard_cache:
             raise ValueError("--shard-cache shards the album cache; it has "
@@ -722,7 +728,7 @@ def test(cfg: Config, packed, out_dir: str, load_best: bool = True,
 
         pr = predict_cached(cfg, model, state.params, shared, ds,
                             cfg.train.eval_batch_size, cache=cache, mesh=mesh,
-                            shard_cache=shard_cache)
+                            shard_cache=shard_cache, sharded=sharded)
         bc = accuracy_by_category(question_categories(packed, split),
                                   pr["pred"] == pr["label"])
         m["by_category"] = bc
@@ -768,6 +774,13 @@ def test_ensemble(cfg: Config, packed, out_dirs: list[str],
         # same CPU-eval trap as cli.cmd_test: inference ships XLA
         mcfg = mcfg.replace(model=_dc.replace(mcfg.model,
                                               use_pallas=cfg.model.use_pallas))
+        # eval BATCHING follows the CALLER's config, not the member's saved
+        # one: the CLI-resolved eval_batch_size is what the user sized (and
+        # what --data-parallel/--shard-cache validated divisibility against);
+        # a member saved with e.g. eval_batch_size=100 must not crash a DP-8
+        # ensemble mid-eval. The member's config still owns the ARCHITECTURE.
+        mcfg = mcfg.replace(train=_dc.replace(
+            mcfg.train, eval_batch_size=cfg.train.eval_batch_size))
         model = FVTAModel(cfg=mcfg)
         shared = SharedTables.from_packed(packed.shared)
         if mesh is not None:

@@ -29,24 +29,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from fvta_memexqa_tpu.bench_lib import (bench_cached_inference,  # noqa: E402
-                                        realistic_config)
-
-
-def _retry(fn, what, retries=2, backoff_s=45.0):
-    for attempt in range(retries + 1):
-        try:
-            return fn()
-        except Exception as e:  # same transient-tunnel signature as bench.py
-            msg = repr(e)
-            is_rt = type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
-            transient = is_rt and ("remote_compile" in msg
-                                   or "response body closed" in msg
-                                   or "UNAVAILABLE" in msg)
-            if attempt >= retries or not transient:
-                raise
-            print(f"{what}: transient tunnel error; retry after {backoff_s}s",
-                  file=sys.stderr)
-            time.sleep(backoff_s)
+                                        realistic_config,
+                                        retry_transient as _retry)
 
 
 def main():

@@ -169,6 +169,27 @@ class TestPack:
 
         assert _os.path.exists(_os.path.join(out, "val_question.ids"))
 
+    def test_focal_kind_decouples_from_album_cycle(self):
+        """focal_kind must never lock question kind to album identity: with
+        the original fixed stride, num_albums ≡ 4 (mod 5) — including the
+        library DEFAULT of 24 — cancelled the sweep offset (kind == owner % 5
+        for every sweep), so an album's questions all shared one kind and the
+        generators' per-album evidence/decoy structure silently degenerated.
+        Each owner must see every kind across 5 sweeps; sizes where stride=1
+        already decouples must keep the original formula bit-for-bit (all
+        measured corpora: 8/16/32/96/240)."""
+        from fvta_memexqa_tpu.data.synthetic import focal_kind
+
+        for num_albums in (8, 14, 16, 19, 24, 32, 96, 240):
+            for owner in range(num_albums):
+                kinds = {focal_kind(owner + j * num_albums, num_albums)
+                         for j in range(5)}
+                assert len(kinds) == 5, (num_albums, owner, kinds)
+        for num_albums in (8, 16, 32, 96, 240):
+            for qi in range(num_albums * 6):
+                assert focal_kind(qi, num_albums) == \
+                    (qi + qi // num_albums) % 5
+
     def test_focal_generator_multi_album(self):
         """albums_per_question=K>1 (the multi-album regime, BASELINE.md "Focal
         ablation"): every question carries K distinct albums from the OWNER's

@@ -237,3 +237,48 @@ def test_model_pallas_grad_composition_matches_ref(packed_synth, small_config):
         np.testing.assert_allclose(np.asarray(vp), np.asarray(vr),
                                    rtol=5e-4, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(kr))
+
+
+class TestTilingBudget:
+    """The round-5 scoped-VMEM sizing model (`_tiling`): every production
+    shape must price within the model budget with zero phantom rows at the
+    measured row counts, and widths the model CANNOT fit must refuse loudly
+    (the pre-guard code proceeded on a negative budget and reintroduced the
+    compile-time OOM the model exists to prevent)."""
+
+    def _price(self, bb, nb, widths, hp, const_bytes):
+        from fvta_memexqa_tpu.ops.lstm_fused import _round_up
+
+        wsum = sum(_round_up(w, 128) for w in widths)
+        return 8 * wsum * bb + 8 * hp * nb * bb + 2 * const_bytes
+
+    def test_production_shapes_fit_and_pad_zero(self):
+        """MemexQA driver shapes (d=200 text fwd, d=2537-proj photo-title
+        encoders at hp=128): budget respected, phantom rows zero."""
+        from fvta_memexqa_tpu.ops.lstm_fused import _SCOPED_BUDGET, _tiling
+
+        hp, g4 = 128, 512
+        for n, d, nwin in [
+            (2688, 200, 5),   # round-5 OOM shape: bwd, emit_out+cell
+            (3072, 200, 5), (3360, 200, 3), (256, 200, 3), (64, 200, 3),
+        ]:
+            widths = [d, 1] + [hp] * (nwin - 2)
+            const_bytes = 4 * (d * g4 + hp * g4 + 8 * g4)
+            bb, nb, nseg, n_pad = _tiling(n, widths, hp, const_bytes)
+            assert n_pad >= n and nseg * nb * bb == n_pad
+            assert n_pad - n < 8, (n, n_pad)  # sub-tile padding only
+            assert self._price(bb, nb, widths, hp, const_bytes) \
+                <= _SCOPED_BUDGET
+
+    def test_overwide_constants_refuse(self):
+        """hidden ~512 with a wide input: doubled weight windows alone blow
+        the budget -> ValueError naming the XLA fallback, not a silent
+        unfittable launch."""
+        import pytest
+
+        from fvta_memexqa_tpu.ops.lstm_fused import _tiling
+
+        hp, g4, d = 512, 2048, 512
+        const_bytes = 4 * (d * g4 + hp * g4 + 8 * g4 + g4 * hp)
+        with pytest.raises(ValueError, match="use_pallas=False"):
+            _tiling(2048, [d, 1, hp, hp, hp], hp, const_bytes)

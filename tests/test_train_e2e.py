@@ -117,7 +117,8 @@ class TestOverfit:
         rows = [
             {"event": "train", "time": 0, "step": 5},          # no loss
             {"event": "train", "time": 0},                     # no step either
-            {"event": "val", "time": 0, "step": 5, "acc": 0.5, "loss": 1.0},
+            {"event": "val", "time": 0, "acc": 0.5, "loss": 1.0},  # no step
+            {"time": 0, "note": "rogue row"},                  # no event at all
             {"event": "test_ensemble", "time": 0, "split": "test",
              "count": 8},                                      # no acc
         ]
@@ -177,6 +178,35 @@ class TestOverfit:
         assert dp["acc"] == single["acc"]
         assert [m["acc"] for m in dp["members"]] == [m["acc"]
                                                      for m in single["members"]]
+
+    def test_ensemble_member_odd_saved_batch(self, packed_synth, trained,
+                                             tmp_path):
+        """A member whose SAVED config carries an eval_batch_size that does
+        not divide the DP mesh must not crash mid-eval: eval batching follows
+        the CALLER's config (what --eval-batch-size/--data-parallel
+        validated); the member's config owns only the architecture."""
+        import dataclasses as _dc
+        import shutil
+
+        from fvta_memexqa_tpu.config import (MeshConfig, load_config,
+                                             save_config)
+        from fvta_memexqa_tpu.train import test_ensemble
+
+        cfg, res, out = trained
+        odd = str(tmp_path / "odd_member")
+        shutil.copytree(out, odd)
+        cfg_path = os.path.join(odd, "config.json")
+        mcfg = load_config(cfg_path)
+        save_config(mcfg.replace(
+            train=_dc.replace(mcfg.train, eval_batch_size=3)), cfg_path)
+        single = test_ensemble(cfg, packed_synth, [out, out], load_best=True,
+                               split="train", echo=False)
+        dp_cfg = cfg.replace(mesh=MeshConfig(data_parallel=2))
+        dp = test_ensemble(dp_cfg, packed_synth, [out, odd], load_best=True,
+                           split="train", echo=False)
+        # odd is a byte-copy of out, so the ensemble is the self-ensemble
+        assert dp["acc"] == single["acc"]
+        assert dp["count"] == single["count"]
 
     def test_attention_dump(self, packed_synth, trained, tmp_path, capsys):
         """test(attention_path=...) writes the qualitative-analysis tensors,
